@@ -163,7 +163,10 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
             g_meshname.append(meshname)
     ngeom = len(g_type)
 
-    # ---- pack collision-mesh vertices ----
+    # ---- pack collision-mesh convex hulls ----
+    # MuJoCo collides meshes by their convex hull (mesh_graph); we compute the
+    # hull at build time (qhull) and decimate large hulls to <= HULL_MAX
+    # support vertices so batched GJK support lookups stay cheap on TPU.
     mesh_vert_list = []
     geom_vertadr = [-1] * ngeom
     geom_vertnum = [0] * ngeom
@@ -174,9 +177,10 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         if mn is None:
             continue
         if mn not in mesh_ids:
-            verts = doc.meshes[mn].verts
-            mesh_ids[mn] = (len(mesh_ids), len(mesh_vert_list) and sum(len(v) for v in mesh_vert_list) or 0, len(verts))
-            mesh_vert_list.append(verts)
+            hull = _convex_hull(doc.meshes[mn].verts)
+            vadr = sum(len(v) for v in mesh_vert_list)
+            mesh_ids[mn] = (len(mesh_ids), vadr, len(hull))
+            mesh_vert_list.append(hull)
         mid, vadr, vnum = mesh_ids[mn]
         geom_meshid[gi] = mid
         geom_vertadr[gi] = vadr
@@ -311,6 +315,7 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         ls_iterations=doc.option.ls_iterations,
         pairs=pairs,
         max_contacts=max_contacts,
+        fl_dofs=tuple(i for i in range(nv) if dof_frictionloss[i] > 0),
         gravity=f(doc.option.gravity),
         body_pos=f([b.pos for b in bodies]),
         body_quat=f([b.quat for b in bodies]),
@@ -408,6 +413,9 @@ def _compute_derived_on_host(model: Model, kp, kv_spec, dampratio) -> Model:
     d, cinr = smooth.com_quantities(model, d)
     d = smooth.crba(model, d, cinr)
     qM = np.asarray(d.qM)
+    model = dataclasses.replace(
+        model, stat_meaninertia=float(np.trace(qM) / model.nv)
+    )
     Minv = np.linalg.inv(qM)
     dof_invweight0 = np.diag(Minv)
 
@@ -460,6 +468,47 @@ def _compute_derived_on_host(model: Model, kp, kv_spec, dampratio) -> Model:
         body_invweight0=jnp.asarray(body_invw),
         actuator_kv=jnp.asarray(kv),
     )
+
+
+HULL_MAX = 64
+
+
+def _convex_hull(verts: np.ndarray) -> np.ndarray:
+    """Convex hull vertices, decimated to <= HULL_MAX support points.
+
+    Decimation keeps the argmax-support vertex along a Fibonacci-sphere
+    direction set, which bounds the support-function error for the GJK
+    narrowphase while keeping vert counts TPU-friendly."""
+    from scipy.spatial import ConvexHull
+
+    if len(verts) > 3:
+        try:
+            hull = verts[np.unique(ConvexHull(verts).vertices)]
+        except Exception:
+            hull = verts
+    else:
+        hull = verts
+    if len(hull) <= HULL_MAX:
+        return np.asarray(hull, dtype=np.float64)
+    # Fibonacci sphere directions
+    n = 4 * HULL_MAX
+    i = np.arange(n)
+    phi = np.pi * (3.0 - np.sqrt(5.0))
+    y = 1 - 2 * (i + 0.5) / n
+    r = np.sqrt(np.maximum(0, 1 - y * y))
+    dirs = np.stack([r * np.cos(phi * i), y, r * np.sin(phi * i)], -1)
+    support = np.unique(np.argmax(dirs @ hull.T, axis=1))
+    pts = hull[support]
+    if len(pts) > HULL_MAX:
+        # greedy farthest-point thinning
+        keep = [0]
+        d = np.linalg.norm(pts - pts[0], axis=1)
+        for _ in range(HULL_MAX - 1):
+            j = int(np.argmax(d))
+            keep.append(j)
+            d = np.minimum(d, np.linalg.norm(pts - pts[j], axis=1))
+        pts = pts[sorted(keep)]
+    return np.asarray(pts, dtype=np.float64)
 
 
 def _detect_box(verts: np.ndarray):

@@ -125,6 +125,8 @@ class Model:
     ls_iterations: int = static(default=50)
     pairs: CollisionPairs = static(default_factory=CollisionPairs)
     max_contacts: int = static(default=32)
+    stat_meaninertia: float = static(default=1.0)  # trace(M(qpos0))/nv
+    fl_dofs: tuple = static(default=())  # dofs with frictionloss > 0
 
     # --- numeric arrays (traced) ---
     gravity: jnp.ndarray = None
@@ -206,6 +208,7 @@ class State:
     ctrl: jnp.ndarray  # (NU,)
     mocap_pos: jnp.ndarray = None   # (NMOCAP, 3)
     mocap_quat: jnp.ndarray = None  # (NMOCAP, 4)
+    qacc_warmstart: jnp.ndarray = None  # (NV,) solver warmstart (MuJoCo-style)
 
     def replace(self, **kw) -> "State":
         return dataclasses.replace(self, **kw)

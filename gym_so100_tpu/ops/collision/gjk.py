@@ -1,0 +1,322 @@
+"""Convex-convex narrowphase: GJK distance + EPA penetration depth.
+
+Used for the arm-link convex hulls of the SO100 scene (the builder packs each
+collidable mesh's decimated convex hull; the reference relies on MuJoCo's
+native convex collision for these pairs).  Fixed iteration counts and
+fixed-size polytope buffers; no data-dependent control flow, so the whole
+routine jits and vmaps over the static pair table and over env batches.
+
+Conventions: returned `normal` points from geom1 toward geom2 (the minimal
+translation that separates geom2 from geom1 is +depth*normal applied to
+geom2); `depth` is negative when penetrating; `pos` is the midpoint of the
+witness points (MuJoCo contact.pos convention).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+GJK_ITERS = 20
+EPA_ITERS = 20
+EPA_FACES = 64
+NVERT = 4 + EPA_ITERS
+
+
+def convex_convex(p1, R1, v1, p2, R2, v2, margin=0.0):
+    """Collide two convex hulls given world poses and geom-frame verts."""
+    w1 = p1[None] + v1 @ R1.T
+    w2 = p2[None] + v2 @ R2.T
+    dtype = w1.dtype
+
+    S, W, nsimp, dist2, lam, intersect = _gjk(w1, w2)
+
+    # separated branch: witnesses from barycentric combination
+    wa = lam @ W[:, :3]
+    wb = lam @ W[:, 3:]
+    sep_dist = jnp.sqrt(jnp.maximum(dist2, 1e-300))
+    sep_n = (wb - wa) / jnp.maximum(sep_dist, 1e-12)
+
+    depth_pen, n_pen, pos_pen = _epa(w1, w2, S, W, nsimp, dtype)
+
+    active = intersect & (depth_pen < margin)
+    pos = jnp.where(intersect, pos_pen, 0.5 * (wa + wb))
+    normal = jnp.where(intersect, n_pen, sep_n)
+    depth = jnp.where(intersect, depth_pen, sep_dist)
+    return dict(pos=pos, normal=normal, depth=depth, active=active)
+
+
+def _support(w1, w2, d):
+    i1 = jnp.argmax(w1 @ d)
+    i2 = jnp.argmax(w2 @ (-d))
+    return w1[i1] - w2[i2], jnp.concatenate([w1[i1], w2[i2]])
+
+
+def _gjk(w1, w2):
+    """GJK distance loop.  Returns (S (4,3) simplex, W (4,6) witnesses,
+    nsimp, dist2 to origin, lam (4,), intersect)."""
+    dtype = w1.dtype
+    d0 = jnp.mean(w1, 0) - jnp.mean(w2, 0)
+    d0 = jnp.where(jnp.linalg.norm(d0) < 1e-12, jnp.asarray([1.0, 0, 0], dtype), d0)
+    s0, ws0 = _support(w1, w2, -d0)
+
+    S = jnp.zeros((4, 3), dtype).at[0].set(s0)
+    W = jnp.zeros((4, 6), dtype).at[0].set(ws0)
+
+    eps = jnp.finfo(dtype).eps
+    scale2 = jnp.maximum(1.0, jnp.max(jnp.sum(jnp.square(s0))))
+
+    def body(carry, _):
+        S, W, n, v, lam, done, intersect = carry
+        d = -v
+        s, ws = _support(w1, w2, d)
+        # no closer support along d -> converged (separated)
+        vv = v @ v
+        no_progress = vv - v @ s < 64 * eps * jnp.maximum(1.0, vv)
+        stop = done | no_progress
+        # append s into the first free slot (slot n; n <= 3 when not done)
+        slot = jnp.minimum(n, 3)
+        S2 = S.at[slot].set(s)
+        W2 = W.at[slot].set(ws)
+        n2 = jnp.minimum(n + 1, 4)
+        lam2 = _closest_barycentric(S2, n2)
+        v2 = lam2 @ S2
+        inter2 = v2 @ v2 < (1e4 * eps * eps) * scale2
+        # reduce: keep positive-lam verts at the front
+        keep = lam2 > 0
+        order = jnp.argsort(~keep, stable=True)
+        S3 = S2[order]
+        W3 = W2[order]
+        lam3 = lam2[order]
+        n3 = jnp.sum(keep).astype(jnp.int32)
+        new = (S3, W3, n3, v2, lam3, stop | inter2, intersect | inter2)
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stop, a, b), carry, new
+        )
+        return out, None
+
+    lam0 = jnp.zeros(4, dtype).at[0].set(1.0)
+    carry = (S, W, jnp.int32(1), s0, lam0, jnp.bool_(False), jnp.bool_(False))
+    (S, W, n, v, lam, done, intersect), _ = jax.lax.scan(
+        body, carry, None, length=GJK_ITERS
+    )
+    return S, W, n, v @ v, lam, intersect
+
+
+def _solve_spd_small(G, b):
+    """Closed-form solve for k x k SPD systems, k <= 4 (static k).
+
+    TPU has no f64 LU kernel and small-batch LU/Cholesky calls are slow;
+    cofactor expansion is branch-free vector math that fuses into the
+    surrounding kernel."""
+    k = G.shape[0]
+    if k == 1:
+        return b / G[0, 0]
+    if k == 2:
+        det = G[0, 0] * G[1, 1] - G[0, 1] * G[1, 0]
+        inv = jnp.stack([
+            jnp.stack([G[1, 1], -G[0, 1]]),
+            jnp.stack([-G[1, 0], G[0, 0]]),
+        ]) / det
+        return inv @ b
+    if k == 3:
+        c00 = G[1, 1] * G[2, 2] - G[1, 2] * G[2, 1]
+        c01 = G[1, 2] * G[2, 0] - G[1, 0] * G[2, 2]
+        c02 = G[1, 0] * G[2, 1] - G[1, 1] * G[2, 0]
+        det = G[0, 0] * c00 + G[0, 1] * c01 + G[0, 2] * c02
+        adj = jnp.stack([
+            jnp.stack([c00, G[0, 2] * G[2, 1] - G[0, 1] * G[2, 2], G[0, 1] * G[1, 2] - G[0, 2] * G[1, 1]]),
+            jnp.stack([c01, G[0, 0] * G[2, 2] - G[0, 2] * G[2, 0], G[0, 2] * G[1, 0] - G[0, 0] * G[1, 2]]),
+            jnp.stack([c02, G[0, 1] * G[2, 0] - G[0, 0] * G[2, 1], G[0, 0] * G[1, 1] - G[0, 1] * G[1, 0]]),
+        ])
+        return (adj @ b) / det
+    # k == 4: blockwise via Schur complement on the 2x2 partition
+    A = G[:2, :2]
+    B = G[:2, 2:]
+    C = G[2:, :2]
+    D = G[2:, 2:]
+    detA = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    Ainv = jnp.stack([
+        jnp.stack([A[1, 1], -A[0, 1]]),
+        jnp.stack([-A[1, 0], A[0, 0]]),
+    ]) / detA
+    S2 = D - C @ Ainv @ B
+    detS = S2[0, 0] * S2[1, 1] - S2[0, 1] * S2[1, 0]
+    Sinv = jnp.stack([
+        jnp.stack([S2[1, 1], -S2[0, 1]]),
+        jnp.stack([-S2[1, 0], S2[0, 0]]),
+    ]) / detS
+    b1, b2 = b[:2], b[2:]
+    y2 = Sinv @ (b2 - C @ (Ainv @ b1))
+    y1 = Ainv @ (b1 - B @ y2)
+    return jnp.concatenate([y1, y2])
+
+
+def _closest_barycentric(S, n):
+    """Barycentric coords of the point of conv(S[:n]) closest to the origin,
+    by enumerating all 15 support subsets (static unroll) and keeping the
+    best feasible equality-constrained solution."""
+    dtype = S.dtype
+    best_d2 = jnp.asarray(jnp.inf, dtype)
+    best_lam = jnp.zeros(4, dtype).at[0].set(1.0)
+    for mask in range(1, 16):
+        ids = [i for i in range(4) if (mask >> i) & 1]
+        k = len(ids)
+        valid = jnp.asarray(max(ids)) < n
+        Ssub = S[jnp.asarray(ids)]
+        reps = 64 * jnp.finfo(dtype).eps
+        G = Ssub @ Ssub.T + 1.0 + reps * jnp.eye(k, dtype=dtype)
+        lam_sub = _solve_spd_small(G, jnp.ones(k, dtype))
+        ssum = jnp.sum(lam_sub)
+        lam_sub = lam_sub / jnp.where(jnp.abs(ssum) < reps, reps, ssum)
+        feasible = valid & jnp.all(lam_sub >= -jnp.sqrt(jnp.finfo(dtype).eps)) & jnp.all(
+            jnp.isfinite(lam_sub)
+        )
+        lam_full = jnp.zeros(4, dtype)
+        for j, i in enumerate(ids):
+            lam_full = lam_full.at[i].set(lam_sub[j])
+        pt = lam_full @ S
+        d2 = pt @ pt
+        better = feasible & (d2 < best_d2 * (1 - 4 * jnp.finfo(dtype).eps) - jnp.finfo(dtype).tiny)
+        best_d2 = jnp.where(better, d2, best_d2)
+        best_lam = jnp.where(better, lam_full, best_lam)
+    return jnp.maximum(best_lam, 0.0)
+
+
+def _epa(w1, w2, S, W, nsimp, dtype):
+    """Expanding polytope algorithm.  Needs origin inside (or on) the hull of
+    the Minkowski difference.  Returns (depth (negative), normal 1->2, pos)."""
+    # --- robust initial tetrahedron ---
+    # take GJK simplex verts; fill missing slots with axis supports
+    dirs = jnp.asarray(
+        [[1.0, 0, 0], [0, 1, 0], [0, 0, 1], [-1.0, -1, -1]], dtype
+    )
+    Sfill = S
+    Wfill = W
+    for k in range(4):
+        s, ws = _support(w1, w2, dirs[k])
+        use = jnp.asarray(k) >= nsimp
+        Sfill = Sfill.at[k].set(jnp.where(use, s, Sfill[k]))
+        Wfill = Wfill.at[k].set(jnp.where(use, ws, Wfill[k]))
+    # degenerate (flat) tetra: rebuild completely from +-axis supports
+    vol = jnp.linalg.det(Sfill[1:] - Sfill[0])
+    Sax = jnp.zeros_like(Sfill)
+    Wax = jnp.zeros_like(Wfill)
+    for k in range(4):
+        s, ws = _support(w1, w2, dirs[k])
+        Sax = Sax.at[k].set(s)
+        Wax = Wax.at[k].set(ws)
+    degen = jnp.abs(vol) < (jnp.finfo(dtype).eps * 64) ** 3
+    Sfill = jnp.where(degen, Sax, Sfill)
+    Wfill = jnp.where(degen, Wax, Wfill)
+    # consistent outward winding: make det(S1-S0, S2-S0, S3-S0) negative so
+    # that faces listed below wind outward
+    vol = jnp.linalg.det(Sfill[1:] - Sfill[0])
+    swap = vol > 0
+    S0 = jnp.where(swap, Sfill[1], Sfill[0])
+    S1 = jnp.where(swap, Sfill[0], Sfill[1])
+    W0 = jnp.where(swap, Wfill[1], Wfill[0])
+    W1 = jnp.where(swap, Wfill[0], Wfill[1])
+    Sfill = Sfill.at[0].set(S0).at[1].set(S1)
+    Wfill = Wfill.at[0].set(W0).at[1].set(W1)
+
+    verts = jnp.zeros((NVERT, 3), dtype).at[:4].set(Sfill)
+    wits = jnp.zeros((NVERT, 6), dtype).at[:4].set(Wfill)
+
+    # tetra faces with outward winding given negative det convention:
+    faces0 = jnp.asarray(
+        [[0, 1, 2], [1, 3, 2], [0, 2, 3], [0, 3, 1]], jnp.int32
+    )
+    faces = jnp.zeros((EPA_FACES, 3), jnp.int32).at[:4].set(faces0)
+    fvalid = jnp.zeros(EPA_FACES, bool).at[:4].set(True)
+
+    def normals_dists(faces, verts, fvalid):
+        a, b, c = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        nr = jnp.cross(b - a, c - a)
+        nn = jnp.linalg.norm(nr, axis=-1, keepdims=True)
+        nr = nr / jnp.maximum(nn, 1e-30)
+        dist = jnp.sum(nr * a, -1)
+        # degenerate faces can't be selected
+        bad = (nn[:, 0] < 1e-15) | ~fvalid
+        return nr, jnp.where(bad, jnp.inf, dist)
+
+    def body(carry, _):
+        verts, wits, nvert, faces, fvalid, done = carry
+        nr, dist = normals_dists(faces, verts, fvalid)
+        fi = jnp.argmin(dist)
+        d = nr[fi]
+        s, ws = _support(w1, w2, d)
+        growth = s @ d - dist[fi]
+        converged = growth < 512 * jnp.finfo(dtype).eps
+        stop = done | converged
+
+        verts2 = verts.at[nvert].set(s)
+        wits2 = wits.at[nvert].set(ws)
+        a = verts[faces[:, 0]]
+        visible = (jnp.sum(nr * (s[None] - a), -1) > 64 * jnp.finfo(dtype).eps) & fvalid
+        # horizon edges: ordered edges of visible faces whose reverse is not
+        # in the visible set (i.e. unordered edge appears once among visible)
+        edges = jnp.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+        )  # (3F, 2) ordered with face winding
+        evis = jnp.concatenate([visible] * 3)
+        ekey = (
+            jnp.minimum(edges[:, 0], edges[:, 1]) * NVERT
+            + jnp.maximum(edges[:, 0], edges[:, 1])
+        )
+        occ = (ekey[:, None] == ekey[None, :]) & evis[None, :]
+        cnt = jnp.sum(occ, -1)
+        horizon = evis & (cnt == 1)
+
+        fvalid2 = fvalid & (~visible)
+        slot_order = jnp.argsort(fvalid2, stable=True)  # invalid slots first
+        hor_order = jnp.argsort(~horizon, stable=True)
+        nhor = jnp.sum(horizon)
+        he = edges[hor_order[:EPA_FACES]]
+        new_faces = jnp.stack(
+            [he[:, 0], he[:, 1], jnp.full(EPA_FACES, nvert, jnp.int32)], -1
+        )
+        take = jnp.arange(EPA_FACES) < nhor
+        slots = slot_order[:EPA_FACES]
+        faces2 = faces.at[slots].set(
+            jnp.where(take[:, None], new_faces, faces[slots])
+        )
+        fvalid3 = fvalid2.at[slots].set(jnp.where(take, True, fvalid2[slots]))
+
+        new = (verts2, wits2, jnp.minimum(nvert + 1, NVERT - 1), faces2,
+               fvalid3, stop)
+        out = jax.tree_util.tree_map(
+            lambda old, nw: jnp.where(stop, old, nw), carry, new
+        )
+        # keep done flag updated even when stopping this iteration
+        return out[:5] + (stop,), None
+
+    carry = (verts, wits, jnp.int32(4), faces, fvalid, jnp.bool_(False))
+    (verts, wits, nvert, faces, fvalid, _), _ = jax.lax.scan(
+        body, carry, None, length=EPA_ITERS
+    )
+
+    nr, dist = normals_dists(faces, verts, fvalid)
+    fi = jnp.argmin(dist)
+    n = nr[fi]
+    depth = -dist[fi]
+
+    # witness: project origin onto the closest face, barycentric-combine the
+    # face verts' witness pairs
+    tri = verts[faces[fi]]        # (3, 3)
+    twit = wits[faces[fi]]        # (3, 6)
+    lam = _tri_barycentric(tri, n * dist[fi])
+    wa = lam @ twit[:, :3]
+    wb = lam @ twit[:, 3:]
+    pos = 0.5 * (wa + wb)
+    return depth, n, pos
+
+
+def _tri_barycentric(tri, p):
+    """Clamped barycentric coordinates of p in triangle tri (3,3)."""
+    T = tri - p[None]
+    G = T @ T.T + 1.0 + 64 * jnp.finfo(tri.dtype).eps * jnp.eye(3, dtype=tri.dtype)
+    lam = _solve_spd_small(G, jnp.ones(3, dtype=tri.dtype))
+    lam = jnp.maximum(lam, 0.0)
+    s = jnp.sum(lam)
+    return lam / jnp.where(s < 1e-13, 1e-13, s)

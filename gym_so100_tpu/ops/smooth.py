@@ -120,10 +120,10 @@ def kinematics(m: Model, s: State) -> Data:
     ximat = quat_ops.to_mat(quat_ops.mul(xquat, m.body_iquat))
 
     # geoms / sites
-    gb = jnp.asarray(m.geom_bodyid)
+    gb = jnp.asarray(m.geom_bodyid, jnp.int32)
     geom_xpos = xpos[gb] + _rot_vecs(xquat[gb], m.geom_pos)
     geom_xmat = quat_ops.to_mat(quat_ops.mul(xquat[gb], m.geom_quat))
-    sb = jnp.asarray(m.site_bodyid)
+    sb = jnp.asarray(m.site_bodyid, jnp.int32)
     site_xpos = xpos[sb] + _rot_vecs(xquat[sb], m.site_pos)
     site_xmat = quat_ops.to_mat(quat_ops.mul(xquat[sb], m.site_quat))
 
@@ -357,7 +357,9 @@ def actuation(m: Model, d: Data, s: State) -> Data:
     (/root/reference/gym_so100/assets/trs_so_arm100/so_arm100.xml:33,156-163);
     kv is resolved at build time exactly as MuJoCo's compiler does.
     """
-    dofid = jnp.asarray(m.actuator_dofid)
+    if m.nu == 0:
+        return d.replace(qfrc_actuator=jnp.zeros(m.nv, dtype=s.qpos.dtype))
+    dofid = jnp.asarray(m.actuator_dofid, jnp.int32)
     # joint transmissions with gear 1: length = qpos[dof], velocity = qvel[dof]
     qadr = dofid  # for hinge joints dofadr == qposadr in this scene layout
     length = s.qpos[qadr]
