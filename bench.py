@@ -1,0 +1,63 @@
+"""Benchmark: batched env throughput on the default backend (TPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: lockstep batched env-steps/s on the full SO100 transfer-cube scene
+(state obs, so100_cube_to_bin task, float32, auto-reset), the reference's
+structural analog being SubprocVecEnv workers each running MuJoCo
+(/root/reference/scripts/train_sac.py:294-310).  vs_baseline is against the
+north-star target of 100k env-steps/s/chip at 4096 envs (BASELINE.md) —
+the reference itself publishes no numbers.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gym_so100_tpu.models.builder import build_model  # noqa: E402
+from gym_so100_tpu.parallel.batch import BatchedEnv  # noqa: E402
+
+XML = "/root/reference/gym_so100/assets/so100_transfer_cube.xml"
+B = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+STEPS = int(os.environ.get("BENCH_STEPS", 20))
+
+
+def main():
+    m, _ = build_model(XML, max_contacts=24)
+    m = m.astype(jnp.float32)
+    env = BatchedEnv(m, "so100_cube_to_bin", num_envs=B)
+    key = jax.random.PRNGKey(0)
+    es = env.reset(key)
+    acts = jax.random.uniform(key, (B, 6), jnp.float32, -1, 1)
+
+    # warmup / compile
+    es, obs, rew, term, trunc = env.step(es, acts)
+    jax.block_until_ready(obs)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        es, obs, rew, term, trunc = env.step(es, acts)
+    jax.block_until_ready(obs)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = B * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "batched_env_steps_per_s",
+                "value": round(steps_per_s, 1),
+                "unit": f"env-steps/s/chip @ {B} envs (full scene, f32)",
+                "vs_baseline": round(steps_per_s / 100_000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

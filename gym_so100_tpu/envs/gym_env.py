@@ -1,0 +1,203 @@
+"""Gymnasium adapter: drop-in SO100Env over the jitted functional core.
+
+API-parity layer mirroring /root/reference/gym_so100/env.py:26-185 — same
+obs/action spaces, obs_type kwargs, info dict, reset seeding semantics
+(fresh np.random.RandomState(seed) stream per reset for the cube spawn,
+utils.py:18-29), terminated = (reward == 4), truncated always False (time
+limits come from registration).  numpy in / numpy out; the physics runs as a
+single jit-compiled control step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import gymnasium as gym
+from gymnasium import spaces
+
+import jax
+import jax.numpy as jnp
+
+from ..models.builder import build_model
+from . import constants as C
+from . import core
+from ..render.rasterizer import Renderer
+
+ASSETS_XML = "/root/reference/gym_so100/assets/so100_transfer_cube.xml"
+
+_MODEL_CACHE = {}
+
+
+def _cached_model(xml_path, dtype_key):
+    key = (xml_path, dtype_key)
+    if key not in _MODEL_CACHE:
+        m, aux = build_model(xml_path)
+        if dtype_key == "float32":
+            m = m.astype(jnp.float32)
+        _MODEL_CACHE[key] = (m, aux)
+    return _MODEL_CACHE[key]
+
+
+class SO100Env(gym.Env):
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 50}
+
+    def __init__(
+        self,
+        task,
+        obs_type="pixels",
+        render_mode="rgb_array",
+        observation_width=640,
+        observation_height=480,
+        visualization_width=640,
+        visualization_height=480,
+        xml_path=ASSETS_XML,
+        dtype=None,
+    ):
+        super().__init__()
+        if task not in core.TASKS:
+            raise NotImplementedError(task)
+        self.task = task
+        self.obs_type = obs_type
+        self.render_mode = render_mode
+        self.observation_width = observation_width
+        self.observation_height = observation_height
+        self.visualization_width = visualization_width
+        self.visualization_height = visualization_height
+
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self._dtype = dtype
+        dtype_key = "float64" if dtype == jnp.float64 else "float32"
+        self._m, self._aux = _cached_model(xml_path, dtype_key)
+        self._ids = core.TaskIds.from_model(self._m)
+        self._renderer = None
+
+        m, ids, tname = self._m, self._ids, self.task
+
+        @jax.jit
+        def _jit_step(es, action):
+            es2, obs, reward, terminated, d = core.step(m, es, action, ids, tname)
+            return es2, obs, reward, terminated
+
+        @jax.jit
+        def _jit_reset(box_pose):
+            es = core.reset(m, jax.random.PRNGKey(0), box_pose=box_pose, dtype=dtype)
+            d = core.fwd.forward(m, es.physics)
+            obs = core.observations(m, d, es.physics, ids)
+            return es, obs
+
+        self._step_fn = _jit_step
+        self._reset_fn = _jit_reset
+        self._es = None
+
+        if self.obs_type == "so100_pixels_agent_pos":
+            self.observation_space = spaces.Dict(
+                {
+                    "pixels": spaces.Box(
+                        low=0, high=255,
+                        shape=(observation_height, observation_width, 3),
+                        dtype=np.uint8,
+                    ),
+                    "agent_pos": spaces.Box(
+                        low=-10.0, high=10.0,
+                        shape=(len(C.SO100_JOINTS),), dtype=np.float32,
+                    ),
+                }
+            )
+        elif self.obs_type == "so100_state":
+            self.observation_space = spaces.Box(
+                low=-100.0, high=100.0,
+                shape=(len(C.SO100_JOINTS) + 9,), dtype=np.float32,
+            )
+        else:
+            raise NotImplementedError(self.obs_type)
+
+        self.action_space = spaces.Box(
+            low=-1, high=1, shape=(len(C.SO100_ACTIONS),), dtype=np.float32
+        )
+
+    # -- rendering ---------------------------------------------------------
+
+    def _get_renderer(self):
+        if self._renderer is None:
+            self._renderer = Renderer(self._m, self._aux)
+        return self._renderer
+
+    def render(self):
+        return self._render(visualize=True)
+
+    def _render(self, visualize=False):
+        assert self.render_mode == "rgb_array"
+        width, height = (
+            (self.visualization_width, self.visualization_height)
+            if visualize
+            else (self.observation_width, self.observation_height)
+        )
+        r = self._get_renderer()
+        return np.asarray(
+            r.render(self._es.physics, height=height, width=width, camera="top")
+        )
+
+    # -- obs formatting (env.py:130-146) -----------------------------------
+
+    def _format_obs(self, obs):
+        if self.obs_type == "so100_pixels_agent_pos":
+            return {
+                "pixels": np.asarray(
+                    self._get_renderer().render(
+                        self._es.physics,
+                        height=self.observation_height,
+                        width=self.observation_width,
+                        camera="top",
+                    )
+                ),
+                "agent_pos": np.asarray(obs["qpos"], np.float32),
+            }
+        return np.concatenate(
+            [
+                np.asarray(obs["box_position"], np.float32),
+                np.asarray(obs["bin_position"], np.float32),
+                np.asarray(obs["ee_position"], np.float32),
+                np.asarray(obs["qpos"], np.float32),
+            ]
+        )
+
+    # -- gym API ------------------------------------------------------------
+
+    def reset(self, seed=None, options=None):
+        super().reset(seed=seed)
+        if options and "box_pose" in options:
+            box_pose = np.asarray(options["box_pose"])
+        else:
+            # seed given: the reference's exact RandomState(seed) stream
+            # (utils.py:18-29).  seed None: reference draws OS entropy; we
+            # draw through self.np_random instead so unseeded resets follow
+            # the gym seeding contract (same distribution, deterministic
+            # given a prior seeded reset) — lets us drop the reference's
+            # nondeterministic=True registration.
+            if seed is None:
+                seed = int(self.np_random.integers(2**31 - 1))
+            box_pose = C.sample_so100_box_pose_np(seed)
+        self._es, obs = self._reset_fn(jnp.asarray(box_pose, self._dtype))
+        return self._format_obs(obs), {"is_success": False}
+
+    def step(self, action):
+        action = np.asarray(action)
+        assert action.ndim == 1
+        self._es, obs, reward, terminated = self._step_fn(
+            self._es, jnp.asarray(action, self._dtype)
+        )
+        reward = float(reward)
+        is_success = bool(terminated)
+        return (
+            self._format_obs(obs),
+            reward,
+            bool(terminated),
+            False,
+            {"is_success": is_success},
+        )
+
+    def close(self):
+        pass

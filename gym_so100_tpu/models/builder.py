@@ -271,6 +271,33 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         pair_solimp[pi] = 0.5 * (np.asarray(g_solimp[g1]) + np.asarray(g_solimp[g2]))
         pair_condim.append(max(g_condim[g1], g_condim[g2]))
 
+    # ---- hull-pair collision blocks (vmap-safe packed layout) ----
+    HULL_BLOCK = 64
+    hull_geoms = sorted({g for p in pairs.hull_box + pairs.hull_hull for g in p})
+    hull_start = [-1] * ngeom
+    blocks, lcens, lhalves = [], [], []
+    for hg in hull_geoms:
+        if g_type[hg] == GEOM_BOX:
+            corners = np.array(
+                [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                dtype=np.float64,
+            )
+            v = np.asarray(g_size[hg])[None] * corners
+        else:
+            adr, num = geom_vertadr[hg], geom_vertnum[hg]
+            v = mesh_verts[adr : adr + num]
+        assert len(v) <= HULL_BLOCK, (hg, len(v))
+        hull_start[hg] = len(blocks) * HULL_BLOCK
+        blocks.append(np.concatenate([v, np.tile(v[:1], (HULL_BLOCK - len(v), 1))]))
+        lo_, hi_ = v.min(0), v.max(0)
+        lcens.append((lo_ + hi_) / 2)
+        lhalves.append((hi_ - lo_) / 2)
+    hull_vertsT = (
+        np.concatenate(blocks).T if blocks else np.zeros((3, 0))
+    )
+    hull_lcen = np.asarray(lcens) if lcens else np.zeros((0, 3))
+    hull_lhalf = np.asarray(lhalves) if lhalves else np.zeros((0, 3))
+
     import jax.numpy as jnp
 
     f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64))
@@ -316,6 +343,7 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         pairs=pairs,
         max_contacts=max_contacts,
         fl_dofs=tuple(i for i in range(nv) if dof_frictionloss[i] > 0),
+        hull_start=tuple(hull_start),
         gravity=f(doc.option.gravity),
         body_pos=f([b.pos for b in bodies]),
         body_quat=f([b.quat for b in bodies]),
@@ -358,6 +386,9 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         pair_solimp=f(pair_solimp),
         pair_condim=tuple(pair_condim),
         pair_margin=f(pair_margin),
+        hull_vertsT=f(hull_vertsT),
+        hull_lcen=f(hull_lcen),
+        hull_lhalf=f(hull_lhalf),
     )
 
     model = _compute_derived(model, a_kp, a_kv_spec, a_dampratio)

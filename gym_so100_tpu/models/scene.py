@@ -127,6 +127,8 @@ class Model:
     max_contacts: int = static(default=32)
     stat_meaninertia: float = static(default=1.0)  # trace(M(qpos0))/nv
     fl_dofs: tuple = static(default=())  # dofs with frictionloss > 0
+    # hull-pair collision blocks (built in builder; see narrowphase)
+    hull_start: tuple = static(default=())  # per-geom block offset (-1 none)
 
     # --- numeric arrays (traced) ---
     gravity: jnp.ndarray = None
@@ -173,6 +175,9 @@ class Model:
     pair_solimp: jnp.ndarray = None    # (NP, 5)
     pair_condim: tuple = static(default=())  # (NP,) python ints
     pair_margin: jnp.ndarray = None    # (NP,)
+    hull_vertsT: jnp.ndarray = None   # (3, nblocks*HULL_BLOCK) packed hulls
+    hull_lcen: jnp.ndarray = None     # (nblocks, 3) local AABB centers
+    hull_lhalf: jnp.ndarray = None    # (nblocks, 3) local AABB half extents
 
     def body_id(self, name: str) -> int:
         return self.names_body.index(name)

@@ -23,13 +23,49 @@ EPA_FACES = 64
 NVERT = 4 + EPA_ITERS
 
 
-def convex_convex(p1, R1, v1, p2, R2, v2, margin=0.0):
-    """Collide two convex hulls given world poses and geom-frame verts."""
-    w1 = p1[None] + v1 @ R1.T
-    w2 = p2[None] + v2 @ R2.T
-    dtype = w1.dtype
+HULL_BLOCK = 64  # uniform per-geom vertex window in the packed block array
 
-    S, W, nsimp, dist2, lam, intersect = _gjk(w1, w2)
+
+def convex_convex(p1, R1, v1, p2, R2, v2, margin=0.0):
+    """Collide two convex hulls given world poses and geom-frame verts
+    (V, 3).  For the batched engine path use `make_blocked_convex_convex`,
+    which reads verts out of a shared packed array in a vmap-safe way."""
+    return _convex_core(
+        p1, R1, (v1[:, 0], v1[:, 1], v1[:, 2]),
+        p2, R2, (v2[:, 0], v2[:, 1], v2[:, 2]), margin,
+    )
+
+
+def make_blocked_convex_convex(v_allT):
+    """Build a collider reading hulls from `v_allT` (3, nblocks*HULL_BLOCK)
+    — each geom's hull padded to HULL_BLOCK verts by repeating its first
+    vertex — addressed by per-call block start offsets.
+
+    vmap-safety: under nested vmap (pairs x envs), any per-pair-batched
+    vertex operand (a dot or gather) makes XLA broadcast the constants per
+    env with T(8,128) tile padding on a minor dim of 3 — a >HBM
+    materialization at 4096 envs.  Slicing per *component* from an unbatched
+    closure constant keeps every materialized intermediate at
+    (batch..., HULL_BLOCK), which tiles cleanly."""
+    vx, vy, vz = v_allT[0], v_allT[1], v_allT[2]
+
+    def collide(p1, R1, start1, p2, R2, start2, margin=0.0):
+        def comp(start):
+            return tuple(
+                jax.lax.dynamic_slice(a, (start,), (HULL_BLOCK,))
+                for a in (vx, vy, vz)
+            )
+
+        return _convex_core(p1, R1, comp(start1), p2, R2, comp(start2), margin)
+
+    return collide
+
+
+def _convex_core(p1, R1, v1c, p2, R2, v2c, margin):
+    dtype = p1.dtype
+    sup = _make_support(p1, R1, v1c, p2, R2, v2c)
+
+    S, W, nsimp, dist2, lam, intersect = _gjk(sup, p1, R1, v1c, p2, R2, v2c)
 
     # separated branch: witnesses from barycentric combination
     wa = lam @ W[:, :3]
@@ -37,7 +73,7 @@ def convex_convex(p1, R1, v1, p2, R2, v2, margin=0.0):
     sep_dist = jnp.sqrt(jnp.maximum(dist2, 1e-300))
     sep_n = (wb - wa) / jnp.maximum(sep_dist, 1e-12)
 
-    depth_pen, n_pen, pos_pen = _epa(w1, w2, S, W, nsimp, dtype)
+    depth_pen, n_pen, pos_pen = _epa(sup, S, W, nsimp, dtype)
 
     active = intersect & (depth_pen < margin)
     pos = jnp.where(intersect, pos_pen, 0.5 * (wa + wb))
@@ -46,19 +82,37 @@ def convex_convex(p1, R1, v1, p2, R2, v2, margin=0.0):
     return dict(pos=pos, normal=normal, depth=depth, active=active)
 
 
-def _support(w1, w2, d):
-    i1 = jnp.argmax(w1 @ d)
-    i2 = jnp.argmax(w2 @ (-d))
-    return w1[i1] - w2[i2], jnp.concatenate([w1[i1], w2[i2]])
+def _make_support(p1, R1, v1c, p2, R2, v2c):
+    v1x, v1y, v1z = v1c
+    v2x, v2y, v2z = v2c
+
+    def support(d):
+        # scoring as elementwise mul-adds over component arrays, not a dot
+        # (vmap-safety: see make_blocked_convex_convex)
+        dl1 = R1.T @ d
+        dl2 = R2.T @ (-d)
+        s1 = v1x * dl1[0] + v1y * dl1[1] + v1z * dl1[2]
+        s2 = v2x * dl2[0] + v2y * dl2[1] + v2z * dl2[2]
+        i1 = jnp.argmax(s1)
+        i2 = jnp.argmax(s2)
+        va = jnp.stack([v1x[i1], v1y[i1], v1z[i1]])
+        vb = jnp.stack([v2x[i2], v2y[i2], v2z[i2]])
+        a = p1 + R1 @ va
+        b = p2 + R2 @ vb
+        return a - b, jnp.concatenate([a, b])
+
+    return support
 
 
-def _gjk(w1, w2):
+def _gjk(sup, p1, R1, v1c, p2, R2, v2c):
     """GJK distance loop.  Returns (S (4,3) simplex, W (4,6) witnesses,
     nsimp, dist2 to origin, lam (4,), intersect)."""
-    dtype = w1.dtype
-    d0 = jnp.mean(w1, 0) - jnp.mean(w2, 0)
+    dtype = p1.dtype
+    c1 = jnp.stack([jnp.mean(v1c[0]), jnp.mean(v1c[1]), jnp.mean(v1c[2])])
+    c2 = jnp.stack([jnp.mean(v2c[0]), jnp.mean(v2c[1]), jnp.mean(v2c[2])])
+    d0 = (p1 + R1 @ c1) - (p2 + R2 @ c2)
     d0 = jnp.where(jnp.linalg.norm(d0) < 1e-12, jnp.asarray([1.0, 0, 0], dtype), d0)
-    s0, ws0 = _support(w1, w2, -d0)
+    s0, ws0 = sup(-d0)
 
     S = jnp.zeros((4, 3), dtype).at[0].set(s0)
     W = jnp.zeros((4, 6), dtype).at[0].set(ws0)
@@ -69,7 +123,7 @@ def _gjk(w1, w2):
     def body(carry, _):
         S, W, n, v, lam, done, intersect = carry
         d = -v
-        s, ws = _support(w1, w2, d)
+        s, ws = sup(d)
         # no closer support along d -> converged (separated)
         vv = v @ v
         no_progress = vv - v @ s < 64 * eps * jnp.maximum(1.0, vv)
@@ -183,7 +237,7 @@ def _closest_barycentric(S, n):
     return jnp.maximum(best_lam, 0.0)
 
 
-def _epa(w1, w2, S, W, nsimp, dtype):
+def _epa(sup, S, W, nsimp, dtype):
     """Expanding polytope algorithm.  Needs origin inside (or on) the hull of
     the Minkowski difference.  Returns (depth (negative), normal 1->2, pos)."""
     # --- robust initial tetrahedron ---
@@ -194,7 +248,7 @@ def _epa(w1, w2, S, W, nsimp, dtype):
     Sfill = S
     Wfill = W
     for k in range(4):
-        s, ws = _support(w1, w2, dirs[k])
+        s, ws = sup(dirs[k])
         use = jnp.asarray(k) >= nsimp
         Sfill = Sfill.at[k].set(jnp.where(use, s, Sfill[k]))
         Wfill = Wfill.at[k].set(jnp.where(use, ws, Wfill[k]))
@@ -203,7 +257,7 @@ def _epa(w1, w2, S, W, nsimp, dtype):
     Sax = jnp.zeros_like(Sfill)
     Wax = jnp.zeros_like(Wfill)
     for k in range(4):
-        s, ws = _support(w1, w2, dirs[k])
+        s, ws = sup(dirs[k])
         Sax = Sax.at[k].set(s)
         Wax = Wax.at[k].set(ws)
     degen = jnp.abs(vol) < (jnp.finfo(dtype).eps * 64) ** 3
@@ -245,7 +299,7 @@ def _epa(w1, w2, S, W, nsimp, dtype):
         nr, dist = normals_dists(faces, verts, fvalid)
         fi = jnp.argmin(dist)
         d = nr[fi]
-        s, ws = _support(w1, w2, d)
+        s, ws = sup(d)
         growth = s @ d - dist[fi]
         converged = growth < 512 * jnp.finfo(dtype).eps
         stop = done | converged
@@ -264,9 +318,22 @@ def _epa(w1, w2, S, W, nsimp, dtype):
             jnp.minimum(edges[:, 0], edges[:, 1]) * NVERT
             + jnp.maximum(edges[:, 0], edges[:, 1])
         )
-        occ = (ekey[:, None] == ekey[None, :]) & evis[None, :]
-        cnt = jnp.sum(occ, -1)
-        horizon = evis & (cnt == 1)
+        # duplicate detection among visible edges by sorting (a closed
+        # polytope has each undirected edge exactly twice; a visible edge is
+        # on the horizon iff its twin's face is invisible, i.e. it appears
+        # once in the visible set).  Sort-based instead of a (3F, 3F)
+        # pairwise matrix (huge at batch) or a scatter histogram (pathological
+        # to compile on TPU inside scan+vmap).
+        nE = ekey.shape[0]
+        uniq_pad = NVERT * NVERT + jnp.arange(nE, dtype=ekey.dtype)
+        skey = jnp.where(evis, ekey, uniq_pad)
+        order = jnp.argsort(skey)
+        sk = skey[order]
+        dup = jnp.zeros(nE, bool)
+        dup = dup.at[1:].set(sk[1:] == sk[:-1])
+        dup = dup.at[:-1].set(dup[:-1] | (sk[:-1] == sk[1:]))
+        inv = jnp.argsort(order)
+        horizon = evis & ~dup[inv]
 
         fvalid2 = fvalid & (~visible)
         slot_order = jnp.argsort(fvalid2, stable=True)  # invalid slots first

@@ -50,16 +50,48 @@ def collide(m: Model, d: Data) -> Contact:
 
     hulls = m.pairs.hull_box + m.pairs.hull_hull
     if hulls:
-        v1, v2 = _padded_hull_verts(m, hulls)
+        # --- AABB broadphase over hull pairs, then narrowphase on the KH
+        # deepest-overlapping slots only.  Arm-link hulls touch something in
+        # a tiny fraction of states; culling here is an 8x compute saving
+        # that MuJoCo gets from its sweep-and-prune broadphase.
+        v_allT = m.hull_vertsT.astype(dtype)
         g1 = jnp.asarray([p[0] for p in hulls], jnp.int32)
         g2 = jnp.asarray([p[1] for p in hulls], jnp.int32)
-        out = jax.vmap(gjk_mod.convex_convex)(
-            d.geom_xpos[g1], d.geom_xmat[g1], v1,
-            d.geom_xpos[g2], d.geom_xmat[g2], v2,
+        st1 = jnp.asarray([m.hull_start[p[0]] for p in hulls], jnp.int32)
+        st2 = jnp.asarray([m.hull_start[p[1]] for p in hulls], jnp.int32)
+
+        # world AABBs of every hull-pair geom (block row = start / HULL_BLOCK)
+        gset = sorted({g for p in hulls for g in p})
+        gidx = jnp.asarray(gset, jnp.int32)
+        rows = jnp.asarray(
+            [m.hull_start[g] // gjk_mod.HULL_BLOCK for g in gset], jnp.int32
         )
-        P = len(hulls)
-        pair_ids = len(m.pairs.box_box) + jnp.arange(P, dtype=jnp.int32)
-        chunks.append((out["pos"], out["normal"], out["depth"], out["active"], pair_ids))
+        R = d.geom_xmat[gidx]
+        wc = d.geom_xpos[gidx] + jnp.einsum(
+            "gij,gj->gi", R, m.hull_lcen[rows].astype(dtype)
+        )
+        wh = jnp.einsum(
+            "gij,gj->gi", jnp.abs(R), m.hull_lhalf[rows].astype(dtype)
+        )
+        pos_in_set = {g: i for i, g in enumerate(gset)}
+        i1 = jnp.asarray([pos_in_set[p[0]] for p in hulls], jnp.int32)
+        i2 = jnp.asarray([pos_in_set[p[1]] for p in hulls], jnp.int32)
+        lo = jnp.maximum(wc[i1] - wh[i1], wc[i2] - wh[i2])
+        hi = jnp.minimum(wc[i1] + wh[i1], wc[i2] + wh[i2])
+        overlap = jnp.min(hi - lo, axis=-1)  # (P,) >0 means AABBs intersect
+
+        KH = min(m.max_contacts // 2, len(hulls))
+        ov, slot = jax.lax.top_k(overlap, KH)
+        collide_fn = gjk_mod.make_blocked_convex_convex(v_allT)
+        out = jax.vmap(collide_fn)(
+            d.geom_xpos[g1[slot]], d.geom_xmat[g1[slot]], st1[slot],
+            d.geom_xpos[g2[slot]], d.geom_xmat[g2[slot]], st2[slot],
+        )
+        pair_ids = len(m.pairs.box_box) + slot.astype(jnp.int32)
+        chunks.append((
+            out["pos"], out["normal"], out["depth"],
+            out["active"] & (ov > 0), pair_ids,
+        ))
 
     pos = jnp.concatenate([c[0] for c in chunks])
     normal = jnp.concatenate([c[1] for c in chunks])
@@ -99,38 +131,6 @@ def collide(m: Model, d: Data) -> Contact:
         condim=condim[pair_k],
         active=act,
     )
-
-
-def _padded_hull_verts(m: Model, pairs):
-    """Geom-frame hull vertex arrays for each pair side, padded to a common
-    vertex count by repeating the first vertex (support-invariant).  Boxes are
-    expanded to their 8 corners."""
-    import numpy as np
-
-    def geom_local(g):
-        # verts in the geom frame: geom_xpos/xmat already place this frame in
-        # the world (kinematics composes body pose with geom pos/quat)
-        if m.geom_type[g] == 6:  # GEOM_BOX
-            corners = jnp.asarray(
-                [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-                dtype=m.geom_size.dtype,
-            )
-            return m.geom_size[g][None] * corners
-        adr, num = m.geom_vertadr[g], m.geom_vertnum[g]
-        return m.mesh_verts[adr : adr + num]
-
-    sides = ([p[0] for p in pairs], [p[1] for p in pairs])
-    out = []
-    for side in sides:
-        locs = [geom_local(g) for g in side]
-        vmax = max(v.shape[0] for v in locs)
-        padded = [
-            jnp.concatenate([v, jnp.tile(v[:1], (vmax - v.shape[0], 1))])
-            if v.shape[0] < vmax else v
-            for v in locs
-        ]
-        out.append(jnp.stack(padded))
-    return out[0], out[1]
 
 
 def _quat_mat(q):

@@ -41,17 +41,28 @@ def step(m: Model, s: State) -> tuple[State, Data]:
     return s2, d
 
 
-def n_steps(m: Model, s: State, n: int) -> tuple[State, Data]:
-    """n physics substeps under lax.scan; returns final state and last Data
-    (the control-step granularity the env layer consumes)."""
+def n_steps(m: Model, s: State, n: int) -> State:
+    """n physics substeps under lax.scan (one 0.02 s control step when
+    n=10); returns the final State only — callers needing fresh
+    position-stage quantities run `position_stage` on it (mj_step1
+    semantics)."""
 
     def body(s, _):
-        s2, d = step(m, s)
-        return s2, d
+        s2, _ = step(m, s)
+        return s2, None
 
-    s_final, ds = jax.lax.scan(body, s, None, length=n)
-    d_final = jax.tree_util.tree_map(lambda a: a[-1], ds)
-    return s_final, d_final
+    s_final, _ = jax.lax.scan(body, s, None, length=n)
+    return s_final
+
+
+def position_stage(m: Model, s: State) -> Data:
+    """mj_step1-equivalent position/collision refresh: kinematics + contacts
+    for the *current* state, no constraint solve.  dm_control calls this
+    after its substep loop so observations and rewards see the
+    post-integration state; the env layer mirrors that."""
+    d = smooth.kinematics(m, s)
+    con = narrowphase.collide(m, d)
+    return d.replace(contact=con)
 
 
 def make_state(m: Model, qpos=None, qvel=None, ctrl=None, dtype=None) -> State:

@@ -169,7 +169,13 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
         cs = total_cost(a0)
         x = jnp.where(cw < cs, warmstart, a0)
 
-    tol = m.solver_tolerance
+    # dtype-aware termination: the model's tolerance (default 1e-8) is below
+    # float32 resolution — without this floor the solver burns its full
+    # iteration budget every substep in the f32 throughput path
+    f32 = dtype == jnp.float32
+    tol = max(m.solver_tolerance, 64 * float(jnp.finfo(dtype).eps))
+    max_iters = min(m.solver_iterations, 20) if f32 else m.solver_iterations
+    ls_len = 13 if f32 else max(m.ls_iterations, 25)
     scale = 1.0 / (jnp.maximum(m.stat_meaninertia, MINVAL_) * max(1, nv))
 
     def body(carry):
@@ -230,7 +236,8 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
             return (hi2, ok | ok2), None
 
         (hi, bracketed), _ = jax.lax.scan(
-            expand, (jnp.asarray(1.0, dtype), jnp.bool_(False)), None, length=16
+            expand, (jnp.asarray(1.0, dtype), jnp.bool_(False)), None,
+            length=8 if f32 else 16,
         )
         dhi, _ = phi_d(hi)
         dlo, _ = phi_d(jnp.zeros((), dtype))
@@ -258,7 +265,7 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
             ls_body,
             (jnp.zeros((), dtype), hi, dlo, dhi),
             None,
-            length=max(m.ls_iterations, 25),
+            length=ls_len,
         )
         denom = dhi_f - dlo_f
         alpha = jnp.where(
@@ -279,7 +286,7 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
 
     def cond(carry):
         _, it, done, _ = carry
-        return (~done) & (it < m.solver_iterations)
+        return (~done) & (it < max_iters)
 
     x, niter, _, _ = jax.lax.while_loop(
         cond, body, (x, jnp.int32(0), jnp.bool_(False), jnp.asarray(jnp.inf, dtype))

@@ -118,7 +118,7 @@ def test_float32_contact_stability(twobox):
     """f32 (the TPU throughput dtype) must keep the cube on the table."""
     _, m = twobox
     m32 = m.astype(jnp.float32)
-    step = jax.jit(lambda s: fwd.n_steps(m32, s, 10)[0])
+    step = jax.jit(lambda s: fwd.n_steps(m32, s, 10))
     s = fwd.make_state(m32, qpos=np.array([0, 0, 0.05, 1, 0, 0, 0]), dtype=jnp.float32)
     for _ in range(50):
         s = step(s)
