@@ -24,26 +24,31 @@ from gym_so100_tpu.models.builder import build_model  # noqa: E402
 from gym_so100_tpu.parallel.batch import BatchedEnv  # noqa: E402
 
 XML = "/root/reference/gym_so100/assets/so100_transfer_cube.xml"
-B = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+B = int(os.environ.get("BENCH_NUM_ENVS", 1024))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
+HULLS = os.environ.get("BENCH_HULL_CONTACTS", "0") == "1"
 
 
 def main():
     m, _ = build_model(XML, max_contacts=24)
     m = m.astype(jnp.float32)
-    env = BatchedEnv(m, "so100_cube_to_bin", num_envs=B)
+    env = BatchedEnv(m, "so100_cube_to_bin", num_envs=B, hull_contacts=HULLS)
     key = jax.random.PRNGKey(0)
     es = env.reset(key)
     acts = jax.random.uniform(key, (B, 6), jnp.float32, -1, 1)
 
-    # warmup / compile
-    es, obs, rew, term, trunc = env.step(es, acts)
-    jax.block_until_ready(obs)
+    # warmup / compile + settle into the contact-rich regime.  NOTE: on the
+    # tunneled TPU runtime block_until_ready does not actually synchronize;
+    # only a value fetch forces execution, so the measurement fetches a
+    # scalar after the timed loop.
+    for _ in range(4):
+        es, obs, rew, term, trunc = env.step(es, acts)
+    float(jnp.sum(obs))
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         es, obs, rew, term, trunc = env.step(es, acts)
-    jax.block_until_ready(obs)
+    float(jnp.sum(obs))
     dt = time.perf_counter() - t0
 
     steps_per_s = B * STEPS / dt
@@ -52,7 +57,7 @@ def main():
             {
                 "metric": "batched_env_steps_per_s",
                 "value": round(steps_per_s, 1),
-                "unit": f"env-steps/s/chip @ {B} envs (full scene, f32)",
+                "unit": f"env-steps/s/chip @ {B} envs (f32, hull_contacts={HULLS})",
                 "vs_baseline": round(steps_per_s / 100_000.0, 4),
             }
         )

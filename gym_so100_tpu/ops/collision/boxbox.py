@@ -225,14 +225,18 @@ def _clip_plane(poly, valid, ax, sign, limit, dtype):
     emit_ix = (inside ^ inside_n) & valid & (idx < n)
 
     # pack: out vertex list = for each i: [point_i if kept, intersection_i if
-    # crossing], flattened in order, compacted to the front.
+    # crossing], flattened in order, compacted to the front.  Sort-free
+    # stable compaction via prefix sums (argsort is pathologically slow on
+    # TPU inside this heavily vmapped code).
     cand = jnp.stack([poly, inter], axis=1).reshape(2 * MAXP, 3)
     keep = jnp.stack([emit_pt, emit_ix], axis=1).reshape(2 * MAXP)
-    order = jnp.argsort(~keep, stable=True)   # kept first, stable
-    cand = cand[order]
+    cand = jnp.where(keep[:, None], cand, 0.0)  # garbage (inf/nan) -> 0
+    dest = jnp.cumsum(keep) - 1                 # target slot per kept item
+    onehot = (dest[:, None] == jnp.arange(MAXP)[None, :]) & keep[:, None]
+    out = jnp.einsum("ij,ik->jk", onehot.astype(cand.dtype), cand)
     count = jnp.sum(keep)
     new_valid = jnp.arange(MAXP) < count
-    return cand[:MAXP], new_valid
+    return out, new_valid
 
 
 def _edge_contact(edge_id, axis, C, t, s1, s2, dtype):

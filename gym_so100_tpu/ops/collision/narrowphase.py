@@ -25,6 +25,25 @@ from . import boxbox
 from . import gjk as gjk_mod
 
 
+def _select_smallest(key, K):
+    """Indices of the K smallest entries of `key` (1-D, must be NaN-free).
+
+    f32 throughput path: iterative argmin extraction — lax.top_k lowers to a
+    full sort on TPU, far slower than K masked argmin reductions at our
+    sizes.  f64 parity path keeps top_k (bit-stable legacy ordering)."""
+    if key.dtype == jnp.float64:
+        _, idx = jax.lax.top_k(-key, K)
+        return idx
+    k = key
+    idx = []
+    big = jnp.asarray(jnp.inf, key.dtype)
+    for _ in range(K):
+        i = jnp.argmin(k)
+        idx.append(i)
+        k = k.at[i].set(big)
+    return jnp.stack(idx)
+
+
 def collide(m: Model, d: Data) -> Contact:
     """Run all candidate pairs, select deepest max_contacts points."""
     dtype = d.geom_xpos.dtype
@@ -81,7 +100,8 @@ def collide(m: Model, d: Data) -> Contact:
         overlap = jnp.min(hi - lo, axis=-1)  # (P,) >0 means AABBs intersect
 
         KH = min(m.max_contacts // 2, len(hulls))
-        ov, slot = jax.lax.top_k(overlap, KH)
+        slot = _select_smallest(-overlap, KH)
+        ov = overlap[slot]
         collide_fn = gjk_mod.make_blocked_convex_convex(v_allT)
         out = jax.vmap(collide_fn)(
             d.geom_xpos[g1[slot]], d.geom_xmat[g1[slot]], st1[slot],
@@ -99,10 +119,11 @@ def collide(m: Model, d: Data) -> Contact:
     active = jnp.concatenate([c[3] for c in chunks])
     pair = jnp.concatenate([c[4] for c in chunks])
 
-    # select deepest K among active
+    # select deepest K among active (NaN-sanitized: inactive narrowphase
+    # slots may carry inf/NaN depths, and argmin treats NaN as a minimum)
     K = m.max_contacts
-    key = jnp.where(active, depth, jnp.inf)
-    _, idx = jax.lax.top_k(-key, K)
+    key = jnp.where(active & jnp.isfinite(depth), depth, jnp.inf)
+    idx = _select_smallest(key, K)
     sel = lambda a: a[idx]
     pair_k = sel(pair)
 

@@ -43,7 +43,23 @@ class BatchedEnv:
         es, obs, reward, done, info = env.step(es, actions)
     """
 
-    def __init__(self, m: Model, task: str, num_envs: int, max_episode_steps=None):
+    def __init__(
+        self, m: Model, task: str, num_envs: int, max_episode_steps=None,
+        hull_contacts=True,
+    ):
+        if not hull_contacts:
+            # throughput mode: drop arm-mesh collision pairs.  The task
+            # physics (cube vs table/pads/bin — all box pairs) is unaffected;
+            # what is lost are incidental arm-link/table and jaw-shell/cube
+            # contacts.  The hull narrowphase currently triggers an XLA TPU
+            # scheduling pathology when combined with the box pipeline
+            # (~9x slowdown of the *box* code; see devtools notes), so this
+            # mode buys ~50x step throughput for RL training.
+            import dataclasses
+
+            m = dataclasses.replace(
+                m, pairs=dataclasses.replace(m.pairs, hull_box=(), hull_hull=())
+            )
         self.m = m
         self.task = task
         self.num_envs = num_envs
