@@ -1,0 +1,65 @@
+"""Train SAC on the batched TPU envs.
+
+CLI replacement for /root/reference/scripts/train_sac.py — same knobs where
+they are meaningful (task, num_envs, total steps, checkpoints, resume), but
+the env fan-out is a vmapped on-device batch instead of SubprocVecEnv
+processes.
+
+  python scripts/train_sac.py --task so100_cube_to_bin --num-envs 256 \
+      --total-steps 1000000 --checkpoint-dir runs/sac
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+
+from gym_so100_tpu.agents.sac import SACConfig  # noqa: E402
+from gym_so100_tpu.agents.train import TrainConfig, Trainer  # noqa: E402
+from gym_so100_tpu.envs.gym_env import ASSETS_XML, _cached_model  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="so100_cube_to_bin")
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--total-steps", type=int, default=1_000_000)
+    p.add_argument("--learning-starts", type=int, default=1_000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--buffer-size", type=int, default=50_000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=50_000)
+    p.add_argument("--resume", default=None, help="checkpoint path to restore")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hull-contacts", action="store_true")
+    args = p.parse_args()
+
+    m, _ = _cached_model(ASSETS_XML, "float32")
+    trainer = Trainer(
+        m,
+        TrainConfig(
+            task=args.task,
+            num_envs=args.num_envs,
+            total_steps=args.total_steps,
+            learning_starts=args.learning_starts,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            hull_contacts=args.hull_contacts,
+        ),
+        SACConfig(
+            lr=args.lr, buffer_size=args.buffer_size, batch_size=args.batch_size
+        ),
+    )
+    if args.resume:
+        st = trainer.restore(args.resume)
+        print(f"resumed from {args.resume} at step {int(st.step)}")
+    trainer.train(seed=args.seed, progress=lambda l: print(json.dumps(l), flush=True))
+
+
+if __name__ == "__main__":
+    main()
