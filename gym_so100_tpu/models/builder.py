@@ -221,6 +221,11 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
             body_ipos[bi] = b.inertial.pos
             body_iquat[bi] = b.inertial.quat
             body_inertia[bi] = b.inertial.diaginertia
+        elif bi > 0 and body_jntnum[bi] == 0:
+            # massless jointless body: MuJoCo's compiled ipos equals the
+            # body's pos-in-parent (observed on vx300s_left/camera_focus of
+            # the reference arm); only body_invweight0 depends on this
+            body_ipos[bi] = b.pos
         elif body_jntnum[bi] > 0:
             # A jointed body without explicit inertial would need mass
             # computed from geom volumes; no such body exists in the SO100
@@ -344,6 +349,8 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         max_contacts=max_contacts,
         fl_dofs=tuple(i for i in range(nv) if dof_frictionloss[i] > 0),
         hull_start=tuple(hull_start),
+        eq_site1=tuple(s_names.index(w.site1) for w in doc.welds),
+        eq_site2=tuple(s_names.index(w.site2) for w in doc.welds),
         gravity=f(doc.option.gravity),
         body_pos=f([b.pos for b in bodies]),
         body_quat=f([b.quat for b in bodies]),
@@ -389,6 +396,8 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         hull_vertsT=f(hull_vertsT),
         hull_lcen=f(hull_lcen),
         hull_lhalf=f(hull_lhalf),
+        eq_solref=f([w.solref for w in doc.welds]) if doc.welds else f(np.zeros((0, 2))),
+        eq_solimp=f([w.solimp for w in doc.welds]) if doc.welds else f(np.zeros((0, 5))),
     )
 
     model = _compute_derived(model, a_kp, a_kv_spec, a_dampratio)

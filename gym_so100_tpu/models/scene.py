@@ -129,6 +129,9 @@ class Model:
     fl_dofs: tuple = static(default=())  # dofs with frictionloss > 0
     # hull-pair collision blocks (built in builder; see narrowphase)
     hull_start: tuple = static(default=())  # per-geom block offset (-1 none)
+    # weld equality constraints (site pairs), static ids
+    eq_site1: tuple = static(default=())
+    eq_site2: tuple = static(default=())
 
     # --- numeric arrays (traced) ---
     gravity: jnp.ndarray = None
@@ -178,6 +181,8 @@ class Model:
     hull_vertsT: jnp.ndarray = None   # (3, nblocks*HULL_BLOCK) packed hulls
     hull_lcen: jnp.ndarray = None     # (nblocks, 3) local AABB centers
     hull_lhalf: jnp.ndarray = None    # (nblocks, 3) local AABB half extents
+    eq_solref: jnp.ndarray = None     # (NEQ, 2)
+    eq_solimp: jnp.ndarray = None     # (NEQ, 5)
 
     def body_id(self, name: str) -> int:
         return self.names_body.index(name)

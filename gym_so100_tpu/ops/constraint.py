@@ -47,7 +47,8 @@ class Efc:
     R: jnp.ndarray        # (NE,)
     pos: jnp.ndarray      # (NE,) constraint violation (contacts: dist)
     floss: jnp.ndarray    # (NE,) frictionloss (friction rows only)
-    # per-row class masks
+    # per-row class masks (scalar block = [equality | frictionloss | limits];
+    # a scalar row with neither mask set is an equality row)
     is_floss: jnp.ndarray   # (NE,) bool
     is_limit: jnp.ndarray   # (NE,) bool
     # contact structure: rows [nf+nl : nf+nl+K*CDIM] in K blocks of CDIM
@@ -55,6 +56,7 @@ class Efc:
     con_uscale: jnp.ndarray  # (K, CDIM) jar -> u scaling (row 0 = 1)
     con_active: jnp.ndarray  # (K,) bool
     con_Dn: jnp.ndarray      # (K,) normal-row D
+    neq: int = 0
     nf: int = 0
     nl: int = 0
 
@@ -65,7 +67,7 @@ jax.tree_util.register_dataclass(
         "J", "aref", "D", "R", "pos", "floss", "is_floss", "is_limit",
         "con_mu", "con_uscale", "con_active", "con_Dn",
     ],
-    meta_fields=["nf", "nl"],
+    meta_fields=["neq", "nf", "nl"],
 )
 
 
@@ -141,6 +143,65 @@ def make_efc(m: Model, d: Data, s: State, con: Contact) -> Efc:
     nv = m.nv
     rows_J, rows_aref, rows_D, rows_R = [], [], [], []
     rows_pos, rows_floss, rows_isf, rows_isl = [], [], [], []
+
+    # ---- weld equality rows (6 per weld: 3 translation + 3 rotation) ----
+    # site-weld semantics of the EE scenes (so_arm100_ee.xml equality/weld):
+    # residual = [site1_xpos - site2_xpos ; torquescale * subquat(q1, q2)],
+    # J = J(site1) - J(site2); validated against mjData.efc_* rows.
+    neq = len(m.eq_site1)
+    if neq:
+        from . import quat as quat_ops
+
+        s1 = jnp.asarray(m.eq_site1)
+        s2 = jnp.asarray(m.eq_site2)
+        sb = jnp.asarray(m.site_bodyid, jnp.int32)
+        p1 = d.site_xpos[s1]
+        p2 = d.site_xpos[s2]
+        res_t = p1 - p2                                    # (NEQ, 3)
+        q1 = quat_ops.from_mat(d.site_xmat[s1])
+        q2 = quat_ops.from_mat(d.site_xmat[s2])
+        # rotation residual = torquescale * vec(conj(q2) x q1) and its exact
+        # quaternion-derivative Jacobian rows (calibrated vs mjData.efc_*)
+        qd = quat_ops.mul(quat_ops.conj(q2), q1)           # (NEQ, 4)
+        res_r = qd[:, 1:]
+        Jt1, Jr1 = point_jacobians(m, d, sb[s1], p1)
+        Jt2, Jr2 = point_jacobians(m, d, sb[s2], p2)
+        # M[:, k] = vec(conj(q2) x (0, e_k) x q1); dres/domega1 = 0.5 M
+        e3 = jnp.eye(3, dtype=dtype)
+        def mcol(k):
+            ek = jnp.concatenate(
+                [jnp.zeros((neq, 1), dtype), jnp.tile(e3[k][None], (neq, 1))], 1
+            )
+            return quat_ops.mul(quat_ops.mul(quat_ops.conj(q2), ek), q1)[:, 1:]
+        Mrot = jnp.stack([mcol(0), mcol(1), mcol(2)], axis=-1)  # (NEQ, 3, 3)
+        Jrot = 0.5 * jnp.einsum("eij,ejv->eiv", Mrot, Jr1 - Jr2)
+        Jeq = jnp.concatenate([Jt1 - Jt2, Jrot], axis=1)   # (NEQ, 6, nv)
+        res = jnp.concatenate([res_t, res_r], axis=1)          # (NEQ, 6)
+        imp = impedance(
+            m.eq_solimp[:, None, :].repeat(6, 1), res
+        )                                                       # (NEQ, 6)
+        K, B = kb(m.eq_solref, m.eq_solimp[:, 1])
+        vel = jnp.einsum("erv,v->er", Jeq, s.qvel)
+        aref = -B[:, None] * vel - K[:, None] * imp * res
+        binv = m.body_invweight0
+        b1 = sb[s1]
+        b2 = sb[s2]
+        diag_t = binv[b1, 0] + binv[b2, 0]
+        diag_r = binv[b1, 1] + binv[b2, 1]
+        diag = jnp.concatenate(
+            [jnp.tile(diag_t[:, None], (1, 3)), jnp.tile(diag_r[:, None], (1, 3))],
+            axis=1,
+        )
+        R = jnp.maximum(MINVAL, (1 - imp) / imp * diag)
+        nrows = neq * 6
+        rows_J.append(Jeq.reshape(nrows, nv))
+        rows_aref.append(aref.reshape(-1))
+        rows_D.append((1.0 / R).reshape(-1))
+        rows_R.append(R.reshape(-1))
+        rows_pos.append(res.reshape(-1))
+        rows_floss.append(jnp.zeros(nrows, dtype))
+        rows_isf.append(jnp.zeros(nrows, bool))
+        rows_isl.append(jnp.zeros(nrows, bool))
 
     # ---- dof friction loss rows (static set: dofs with frictionloss > 0) ---
     fl_dofs = m.fl_dofs
@@ -276,6 +337,7 @@ def make_efc(m: Model, d: Data, s: State, con: Contact) -> Efc:
         con_uscale=uscale,
         con_active=active,
         con_Dn=Dn * active,
+        neq=neq,
         nf=nf,
         nl=nl,
     )

@@ -67,13 +67,20 @@ def position_stage(m: Model, s: State) -> Data:
 
 def make_state(m: Model, qpos=None, qvel=None, ctrl=None, dtype=None) -> State:
     dtype = dtype or m.qpos0.dtype
+    # mocap bodies start at their XML body pose (mj_resetData semantics)
+    mocap_rows = [b for b in range(m.nbody) if m.body_mocapid[b] >= 0]
+    if mocap_rows:
+        order = sorted(mocap_rows, key=lambda b: m.body_mocapid[b])
+        mocap_pos = m.body_pos[jnp.asarray(order)].astype(dtype)
+        mocap_quat = m.body_quat[jnp.asarray(order)].astype(dtype)
+    else:
+        mocap_pos = jnp.zeros((0, 3), dtype)
+        mocap_quat = jnp.zeros((0, 4), dtype)
     return State(
         qpos=jnp.asarray(qpos, dtype) if qpos is not None else m.qpos0.astype(dtype),
         qvel=jnp.zeros(m.nv, dtype) if qvel is None else jnp.asarray(qvel, dtype),
         ctrl=jnp.zeros(m.nu, dtype) if ctrl is None else jnp.asarray(ctrl, dtype),
-        mocap_pos=jnp.zeros((m.nmocap, 3), dtype),
-        mocap_quat=jnp.tile(
-            jnp.asarray([1.0, 0, 0, 0], dtype), (m.nmocap, 1)
-        ),
+        mocap_pos=mocap_pos,
+        mocap_quat=mocap_quat,
         qacc_warmstart=jnp.zeros(m.nv, dtype),
     )

@@ -131,3 +131,59 @@ def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(
         [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
     )
+
+
+def from_mat(R):
+    """Rotation matrix -> quaternion (w, x, y, z), batched, branchless
+    (Shepperd's method via where-select over the four stable cases)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    # candidate 0: trace
+    w0 = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-30)) / 2
+    q0 = jnp.stack([
+        w0,
+        (R[..., 2, 1] - R[..., 1, 2]) / (4 * w0),
+        (R[..., 0, 2] - R[..., 2, 0]) / (4 * w0),
+        (R[..., 1, 0] - R[..., 0, 1]) / (4 * w0),
+    ], -1)
+    # candidate i: dominant diagonal element i
+    def cand(i, j, k):
+        s = jnp.sqrt(jnp.maximum(1.0 + R[..., i, i] - R[..., j, j] - R[..., k, k], 1e-30)) * 2
+        comp = {  # components by index
+            "w": (R[..., k, j] - R[..., j, k]) / s,
+            i: s / 4,
+            j: (R[..., j, i] + R[..., i, j]) / s,
+            k: (R[..., k, i] + R[..., i, k]) / s,
+        }
+        vec = [comp["w"], None, None, None]
+        for idx in (i, j, k):
+            vec[idx + 1] = comp[idx]
+        return jnp.stack(vec, -1)
+
+    q1 = cand(0, 1, 2)
+    q2 = cand(1, 2, 0)
+    q3 = cand(2, 0, 1)
+    d0, d1, d2 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    use0 = tr > 0
+    m01 = (d0 >= d1) & (d0 >= d2)
+    m1 = d1 >= d2
+    q = jnp.where(
+        use0[..., None], q0,
+        jnp.where(m01[..., None], q1, jnp.where(m1[..., None], q2, q3)),
+    )
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def conj(q):
+    return q * jnp.asarray([1.0, -1, -1, -1], q.dtype)
+
+
+def sub_quat(qa, qb):
+    """MuJoCo mju_subQuat: 3D rotational 'difference' velocity v such that
+    quat_integrate(qb, v, 1) = qa; v = 2*log(qb^-1 * qa), batched."""
+    qd = mul(conj(qb), qa)
+    # shortest arc
+    qd = jnp.where(qd[..., :1] < 0, -qd, qd)
+    vn = jnp.linalg.norm(qd[..., 1:], axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(vn, qd[..., :1])
+    axis = qd[..., 1:] / jnp.maximum(vn, 1e-15)
+    return axis * angle

@@ -31,7 +31,7 @@ from .constraint import CDIM, Efc
 
 def _contact_blocks(efc: Efc):
     """Reshape the contact portion of jar-level arrays to (K, CDIM)."""
-    start = efc.nf + efc.nl
+    start = 6 * efc.neq + efc.nf + efc.nl
 
     def split(a):
         return a[..., :start], a[..., start:].reshape(*a.shape[:-1], -1, CDIM)
@@ -66,9 +66,13 @@ def _cost_terms(efc: Efc, jar):
     grad_l = jnp.where(act_l, D_s * jar_s, 0.0)
     hess_l = jnp.where(act_l, D_s, 0.0)
 
-    cost_s = jnp.where(isf, cost_f, cost_l)
-    grad_s = jnp.where(isf, grad_f, grad_l)
-    hess_s = jnp.where(isf, hess_f, hess_l)
+    # equality rows (neither mask): always-active quadratic
+    isl, _ = split(efc.is_limit)
+    iseq = ~(isf | isl)
+    cost_q = 0.5 * D_s * jar_s**2
+    cost_s = jnp.where(isf, cost_f, jnp.where(iseq, cost_q, cost_l))
+    grad_s = jnp.where(isf, grad_f, jnp.where(iseq, D_s * jar_s, grad_l))
+    hess_s = jnp.where(isf, hess_f, jnp.where(iseq, D_s, hess_l))
 
     # --- contact cones ---
     u = jar_c * efc.con_uscale  # (K, CDIM)
@@ -110,7 +114,7 @@ def _cost_terms(efc: Efc, jar):
 def _assemble(efc: Efc, M, jar):
     """cost, gradient contribution J'g, Hessian J'HJ (nv x nv)."""
     cost, grad_s, hess_s, grad_c, D_c, cone = _cost_terms(efc, jar)
-    start = efc.nf + efc.nl
+    start = 6 * efc.neq + efc.nf + efc.nl
     Js = efc.J[:start]
     Jc = efc.J[start:].reshape(-1, CDIM, efc.J.shape[-1])  # (K, CDIM, nv)
 
@@ -295,7 +299,7 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
     # final forces
     jar = efc.J @ x - efc.aref
     _, grad_s, _, grad_c, _, _ = _cost_terms(efc, jar)
-    start = efc.nf + efc.nl
+    start = 6 * efc.neq + efc.nf + efc.nl
     force = -jnp.concatenate([grad_s, grad_c.reshape(-1)])
     qfrc = efc.J.T @ force
     return x, qfrc, force, niter

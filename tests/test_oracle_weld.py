@@ -1,0 +1,92 @@
+"""Weld equality constraint parity vs MuJoCo on the EE mocap scene.
+
+The EE scenes (so100_transfer_cube_ee.xml) drive the arm by welding the
+`ee_site` to a mocap target — MuJoCo's constraint solver does implicit IK.
+These tests pin the site-weld rows (translation + quaternion-derivative
+rotation rows) and the resulting dynamics to the oracle."""
+
+import mujoco
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gym_so100_tpu.models.builder import build_model
+from gym_so100_tpu.ops import constraint as cns
+from gym_so100_tpu.ops import forward as fwd
+
+XML = "/root/reference/gym_so100/assets/so100_transfer_cube_ee.xml"
+
+
+def _setup():
+    mjm = mujoco.MjModel.from_xml_path(XML)
+    mjd = mujoco.MjData(mjm)
+    m, _ = build_model(XML, max_contacts=24)
+    mujoco.mj_resetDataKeyframe(mjm, mjd, 0)
+    mujoco.mj_forward(mjm, mjd)
+    return mjm, mjd, m
+
+
+def _state(m, mjd):
+    s = fwd.make_state(
+        m, qpos=np.array(mjd.qpos), qvel=np.array(mjd.qvel),
+        ctrl=np.array(mjd.ctrl),
+    )
+    return s.replace(
+        mocap_pos=jnp.asarray(np.array(mjd.mocap_pos)),
+        mocap_quat=jnp.asarray(np.array(mjd.mocap_quat)),
+    )
+
+
+def test_weld_rows_match_oracle():
+    mjm, mjd, m = _setup()
+    ee = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_SITE, "ee_site")
+    mjd.mocap_pos[0] = mjd.site_xpos[ee] + [0.01, 0.005, -0.02]
+    mjd.qvel[:6] = [0.1, -0.2, 0.1, 0.05, -0.05, 0.02]
+    mujoco.mj_forward(mjm, mjd)
+    s = _state(m, mjd)
+    d = fwd.forward(m, s)
+    efc = cns.make_efc(m, d, s, d.contact)
+    Jmj = (
+        mjd.efc_J.reshape(mjd.nefc, mjm.nv) if mjd.efc_J.ndim == 1 else mjd.efc_J
+    )
+    np.testing.assert_allclose(np.asarray(efc.J[:6]), Jmj[:6], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(efc.pos[:6]), mjd.efc_pos[:6], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(efc.D[:6]), mjd.efc_D[:6], rtol=1e-10)
+
+
+def test_weld_qacc_parity_contact_free():
+    mjm, mjd, m = _setup()
+    # mocap at its XML default: far target, large residual, no extra contacts
+    s = _state(m, mjd)
+    d = fwd.forward(m, s)
+    assert mjd.ncon == 0
+    np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-8)
+
+
+def test_weld_slow_drag_tracks_target():
+    """Drag the target slowly from the ee pose; the arm must follow (implicit
+    IK through the weld).  Behavioral, not bitwise: the mocap handle box
+    collides with the gripper meshes by scene design (49 contacts at reset),
+    so lockstep parity is not defined for this motion."""
+    mjm, mjd, m = _setup()
+    ee_id = m.site_id("ee_site")
+    mj_ee = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_SITE, "ee_site")
+    mjd.mocap_pos[0] = mjd.site_xpos[mj_ee]
+    q = np.zeros(4)
+    mujoco.mju_mat2Quat(q, mjd.site_xmat[mj_ee])
+    mjd.mocap_quat[0] = q
+    s = _state(m, mjd)
+    step = jax.jit(lambda s: fwd.step(m, s)[0])
+    kin = jax.jit(lambda s: fwd.smooth.kinematics(m, s).site_xpos[ee_id])
+    mp = np.array(mjd.mocap_pos)
+    for i in range(200):
+        mp[0][2] += 2e-4
+        s = s.replace(mocap_pos=jnp.asarray(mp))
+        s = step(s)
+    ee_pos = np.asarray(kin(s))
+    assert np.all(np.isfinite(np.asarray(s.qpos)))
+    # the soft weld (solimp 0.9/0.95) lags under gravity + handle-box contact
+    # friction; require that it followed most of the 4 cm drag
+    assert float(ee_pos[2]) > 0.13, ee_pos
+    assert abs(float(ee_pos[2]) - mp[0][2]) < 0.025, (ee_pos, mp)
