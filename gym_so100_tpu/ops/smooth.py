@@ -27,6 +27,7 @@ from ..models.scene import (
     Model,
     State,
 )
+from . import linalg
 from . import quat as quat_ops
 
 
@@ -268,12 +269,16 @@ def crba(m: Model, d: Data, cinr) -> Data:
         )
     F = jnp.stack(F)  # (nv, 6)
 
-    Mfull = F @ d.cdof.T  # (nv, nv): Mfull[i, j] = F_i . cdof_j
+    # Mfull[i, j] = F_i . cdof_j, as 6 FMAs on (nv, nv) slices (a batched
+    # 12x6x12 matmul would pad to MXU tiles under vmap)
+    Mfull = F[:, None, 0] * d.cdof[None, :, 0]
+    for k in range(1, 6):
+        Mfull = Mfull + F[:, None, k] * d.cdof[None, :, k]
     mask = jnp.asarray(_ancestor_mask(m), dtype=bool)
     qM = jnp.where(mask, Mfull, 0.0)
     qM = jnp.where(mask.T, Mfull.T, qM)  # symmetrize using valid halves
     qM = qM + jnp.diag(m.dof_armature)
-    qLD = jnp.linalg.cholesky(qM)
+    qLD = linalg.chol_factor(qM)
     return d.replace(qM=qM, qLD=qLD)
 
 
@@ -386,9 +391,10 @@ def smooth_acc(m: Model, d: Data) -> Data:
 
 
 def cho_solve(L, b):
-    """Solve (L L^T) x = b for dense lower-triangular L."""
-    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    """Solve (L L^T) x = b for dense lower-triangular L (unrolled scalar —
+    the library triangular_solve is a column-loop kernel, ~8x slower at
+    these sizes on TPU; see ops/linalg.py)."""
+    return linalg.chol_solve(L, b)
 
 
 def forward_smooth(m: Model, s: State):

@@ -26,7 +26,21 @@ import jax
 import jax.numpy as jnp
 
 from ..models.scene import Data, Model
+from . import linalg
 from .constraint import CDIM, Efc
+
+
+def _weighted_gram(U, V, w):
+    """sum_r w_r U_r V_r^T for U, V (..., R, n), w (..., R) -> (..., n, n).
+
+    Written as broadcast-multiply + reduction over the row axis: the
+    equivalent batched (n, R) @ (R, n) matmul pads n=12 to MXU 128-tiles
+    under vmap (<1% utilization), while this form stays on the VPU and
+    fuses with the surrounding cost-term arithmetic.
+    """
+    return jnp.sum(
+        (w[..., None] * U)[..., :, None] * V[..., None, :], axis=-3
+    )
 
 
 def _contact_blocks(efc: Efc):
@@ -118,14 +132,15 @@ def _assemble(efc: Efc, M, jar):
     Js = efc.J[:start]
     Jc = efc.J[start:].reshape(-1, CDIM, efc.J.shape[-1])  # (K, CDIM, nv)
 
-    grad = Js.T @ grad_s + jnp.einsum("krv,kr->v", Jc, grad_c)
-
-    # scalar rows: diagonal weights
-    H = jnp.einsum("rv,r,rw->vw", Js, hess_s, Js)
-    # contact top zone: diagonal D per row
-    Hd = jnp.einsum(
-        "krv,kr,krw->vw", Jc, cone["top"][..., None] * D_c, Jc
+    grad = linalg.matvec_t(Js, grad_s) + jnp.sum(
+        Jc * grad_c[..., None], axis=(0, 1)
     )
+
+    # scalar rows + contact top zone: diagonal row weights -> one fused gram
+    # over all rows (top-zone weight on the flattened contact block)
+    w_top = (cone["top"][..., None] * D_c).reshape(-1)
+    w_diag = jnp.concatenate([hess_s, w_top])
+    H = _weighted_gram(efc.J, efc.J, w_diag)
     # contact middle zone: k * (g g' + w * mu * H_T) in u-space, mapped to jar
     us = efc.con_uscale
     g_u = jnp.concatenate(
@@ -134,20 +149,29 @@ def _assemble(efc: Efc, M, jar):
     ) * us  # dw/djar rows
     mid = cone["middle"]
     kk = cone["k"] * mid
-    Hgg = jnp.einsum("krv,k,kr,kq,kqw->vw", Jc, kk, g_u, g_u, Jc)
+    # a_k = sum_r g_u[k, r] Jc[k, r, :]; Hgg = sum_k kk_k a_k a_k^T
+    a = jnp.sum(g_u[..., None] * Jc, axis=-2)  # (K, nv)
+    Hgg = _weighted_gram(a, a, kk)
     # curvature of T: (I - uhat uhat')/T in tangential coords
     uh = cone["uhat"]
     PT = (
-        jnp.eye(CDIM - 1, dtype=jar.dtype)[None] - jnp.einsum("ki,kj->kij", uh, uh)
+        jnp.eye(CDIM - 1, dtype=jar.dtype)[None]
+        - uh[..., :, None] * uh[..., None, :]
     ) / cone["T"][..., None, None]
     # scale to jar coords and weight
     wmu = kk * cone["w"] * cone["mu"]
     St = us[..., 1:]
-    PTs = jnp.einsum("ki,kij,kj->kij", St, PT, St)
+    PTs = St[..., :, None] * PT * St[..., None, :]
     Jt = Jc[:, 1:, :]
-    Hcurv = jnp.einsum("kiv,k,kij,kjw->vw", Jt, wmu, PTs, Jt)
+    # B_ki = sum_j PTs[k, i, j] Jt[k, j, :]; Hcurv = sum_{k,i} wmu_k Jt_ki B_ki
+    Bm = jnp.sum(PTs[..., None] * Jt[..., None, :, :], axis=-2)  # (K, 3, nv)
+    Hcurv = _weighted_gram(
+        Jt.reshape(-1, Jt.shape[-1]),
+        Bm.reshape(-1, Bm.shape[-1]),
+        jnp.repeat(wmu, CDIM - 1),
+    )
 
-    H = H + Hd + Hgg + Hcurv
+    H = H + Hgg + Hcurv
     return cost, grad, H
 
 
@@ -160,10 +184,10 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
     nv = m.nv
 
     def total_cost(x):
-        jar = efc.J @ x - efc.aref
+        jar = linalg.matvec(efc.J, x) - efc.aref
         c, *_ = _cost_terms(efc, jar)
         dx = x - a0
-        return 0.5 * dx @ (M @ dx) + c
+        return 0.5 * linalg.dot(dx, linalg.matvec(M, dx)) + c
 
     # warmstart: better of warmstart and qacc_smooth (MuJoCo mj_warmstart)
     if warmstart is None:
@@ -184,20 +208,21 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
 
     def body(carry):
         x, it, done, _ = carry
-        jar = efc.J @ x - efc.aref
+        jar = linalg.matvec(efc.J, x) - efc.aref
         cost, gcon, H = _assemble(efc, M, jar)
         dx = x - a0
-        cost = cost + 0.5 * dx @ (M @ dx)  # full objective incl. smooth term
-        grad = M @ dx + gcon
+        Mdx = linalg.matvec(M, dx)
+        cost = cost + 0.5 * linalg.dot(dx, Mdx)  # full objective incl. smooth
+        grad = Mdx + gcon
         Htot = M + H
-        L = jnp.linalg.cholesky(Htot + 1e-12 * jnp.eye(nv, dtype=dtype))
-        dirn = -jax.scipy.linalg.cho_solve((L, True), grad)
+        L = linalg.chol_factor(Htot, eps=1e-12)
+        dirn = -linalg.chol_solve(L, grad)
 
         # exact line search: 1-D Newton on phi'(alpha), phi convex
-        djar = efc.J @ dirn
-        Md = M @ dirn
-        c1 = dirn @ (M @ dx)
-        c2 = dirn @ Md
+        djar = linalg.matvec(efc.J, dirn)
+        Md = linalg.matvec(M, dirn)
+        c1 = linalg.dot(dirn, Mdx)
+        c2 = linalg.dot(dirn, Md)
 
         def phi_d(alpha):
             jar_a = jar + alpha * djar
@@ -288,20 +313,41 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
         x_out = jnp.where(cost_new < cost, x_new, x)
         return x_out, it + 1, done | done_new, cost_new
 
-    def cond(carry):
-        _, it, done, _ = carry
-        return (~done) & (it < max_iters)
+    carry0 = (x, jnp.int32(0), jnp.bool_(False), jnp.asarray(jnp.inf, dtype))
+    if f32:
+        # throughput path: fixed-length scan with a per-lane freeze mask.
+        # A while_loop's dynamic trip count re-dispatches the body's kernels
+        # every iteration and, under vmap, runs to the slowest lane anyway;
+        # the masked scan compiles to one unrolled-schedule loop.  niter
+        # counts non-frozen iterations so diagnostics stay meaningful.
+        def scan_body(carry, _):
+            x, it, done, cost = carry
+            x2, it2, done2, cost2 = body((x, it, done, cost))
+            new = (
+                jnp.where(done, x, x2),
+                jnp.where(done, it, it2),
+                done2 | done,
+                jnp.where(done, cost, cost2),
+            )
+            return new, None
 
-    x, niter, _, _ = jax.lax.while_loop(
-        cond, body, (x, jnp.int32(0), jnp.bool_(False), jnp.asarray(jnp.inf, dtype))
-    )
+        (x, niter, _, _), _ = jax.lax.scan(
+            scan_body, carry0, None, length=max_iters
+        )
+    else:
+
+        def cond(carry):
+            _, it, done, _ = carry
+            return (~done) & (it < max_iters)
+
+        x, niter, _, _ = jax.lax.while_loop(cond, body, carry0)
 
     # final forces
-    jar = efc.J @ x - efc.aref
+    jar = linalg.matvec(efc.J, x) - efc.aref
     _, grad_s, _, grad_c, _, _ = _cost_terms(efc, jar)
     start = 6 * efc.neq + efc.nf + efc.nl
     force = -jnp.concatenate([grad_s, grad_c.reshape(-1)])
-    qfrc = efc.J.T @ force
+    qfrc = linalg.matvec_t(efc.J, force)
     return x, qfrc, force, niter
 
 
