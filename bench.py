@@ -42,12 +42,12 @@ def main():
     # only a value fetch forces execution, so the measurement fetches a
     # scalar after the timed loop.
     for _ in range(4):
-        es, obs, rew, term, trunc = env.step(es, acts)
+        es, obs, rew, term, trunc, info = env.step(es, acts)
     float(jnp.sum(obs))
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        es, obs, rew, term, trunc = env.step(es, acts)
+        es, obs, rew, term, trunc, info = env.step(es, acts)
     float(jnp.sum(obs))
     dt = time.perf_counter() - t0
 

@@ -213,6 +213,12 @@ class SACState:
     normalizer: Normalizer
     key: jnp.ndarray
     step: jnp.ndarray
+    # dynamic hyperparameters — the reference's StageBasedTraining mutates
+    # model.target_entropy / model.learning_rate between stages
+    # (train_sac.py:429-482); here they live in the state pytree so stage
+    # switches don't retrace the jitted train step
+    target_entropy: jnp.ndarray = None
+    lr_scale: jnp.ndarray = None
 
 
 _pytree(SACState)
@@ -225,6 +231,9 @@ class SAC:
         self.cfg = cfg
         self.actor = Actor(cfg.act_dim, cfg.features)
         self.critic = Critic(cfg.features)
+        # base lr baked in; the runtime-varying stage multiplier (SACState.
+        # lr_scale) is applied to the update pytree, keeping opt-state shapes
+        # independent of the schedule
         self.actor_tx = optax.adam(cfg.lr)
         self.critic_tx = optax.adam(cfg.lr)
         self.alpha_tx = optax.adam(cfg.lr)
@@ -248,6 +257,8 @@ class SAC:
             normalizer=Normalizer.create(cfg.obs_dim),
             key=k3,
             step=jnp.zeros((), jnp.int32),
+            target_entropy=jnp.asarray(cfg.target_entropy, jnp.float32),
+            lr_scale=jnp.ones((), jnp.float32),
         )
 
     # -- acting --------------------------------------------------------------
@@ -280,9 +291,12 @@ class SAC:
             q1, q2 = self.critic.apply(p, nobs, batch["act"])
             return ((q1 - target) ** 2 + (q2 - target) ** 2).mean()
 
+        lr_scale = jnp.ones(()) if st.lr_scale is None else st.lr_scale
+        scale_up = lambda up: jax.tree_util.tree_map(lambda u: u * lr_scale, up)
+
         closs, cgrad = jax.value_and_grad(critic_loss)(st.critic_params)
         cup, copt = self.critic_tx.update(cgrad, st.critic_opt)
-        critic_params = optax.apply_updates(st.critic_params, cup)
+        critic_params = optax.apply_updates(st.critic_params, scale_up(cup))
 
         def actor_loss(p):
             a, logp = sample_action(p, self.actor, nobs, k2)
@@ -293,16 +307,21 @@ class SAC:
             st.actor_params
         )
         aup, aopt = self.actor_tx.update(agrad, st.actor_opt)
-        actor_params = optax.apply_updates(st.actor_params, aup)
+        actor_params = optax.apply_updates(st.actor_params, scale_up(aup))
+
+        target_entropy = (
+            jnp.asarray(cfg.target_entropy)
+            if st.target_entropy is None else st.target_entropy
+        )
 
         def alpha_loss(la):
             return -(
-                jnp.exp(la) * jax.lax.stop_gradient(logp + cfg.target_entropy)
+                jnp.exp(la) * jax.lax.stop_gradient(logp + target_entropy)
             ).mean()
 
         lloss, lgrad = jax.value_and_grad(alpha_loss)(st.log_alpha)
         lup, lopt = self.alpha_tx.update(lgrad, st.alpha_opt)
-        log_alpha = optax.apply_updates(st.log_alpha, lup)
+        log_alpha = optax.apply_updates(st.log_alpha, scale_up(lup))
 
         target_params = jax.tree_util.tree_map(
             lambda t, p: (1 - cfg.tau) * t + cfg.tau * p,

@@ -35,8 +35,19 @@ class TrainConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 5_000
     hull_contacts: bool = False
-    # stage curriculum (train_sac.py:429-482): (step_threshold, ent_coef_fixed)
+    # stage curriculum: tuple of (end_steps, target_entropy, lr) applied when
+    # total env steps < end_steps * num_envs, mirroring the reference's
+    # StageBasedTraining boundaries (train_sac.py:429-482).  Empty = constant
+    # hyperparameters.  Use REFERENCE_STAGES for the reference's schedule.
     stages: tuple = ()
+
+
+# the reference's 3-stage entropy/LR curriculum (train_sac.py:440-442,452-481)
+REFERENCE_STAGES = (
+    (40_000, -2.0, 1e-4),   # stage 1: high exploration
+    (65_000, -3.0, 1e-4),   # stage 2: balanced
+    (85_000, -7.0, 5e-5),   # stage 3: exploitation
+)
 
 
 class Trainer:
@@ -55,9 +66,10 @@ class Trainer:
         acts = jax.random.uniform(
             k1, (self.tcfg.num_envs, self.sac.cfg.act_dim), jnp.float32, -1, 1
         )
-        es2, next_obs, rew, term, trunc = self.env._step_impl(es, acts)
+        es2, next_obs, rew, term, trunc, info = self.env._step_impl(es, acts)
         st = dataclasses.replace(st, key=key)
-        buffer = st.buffer.add_batch(obs, acts, rew, next_obs, term)
+        # boundary transitions bootstrap from the episode's true terminal obs
+        buffer = st.buffer.add_batch(obs, acts, rew, info["final_obs"], term)
         normalizer = st.normalizer.update(obs)
         st = dataclasses.replace(st, buffer=buffer, normalizer=normalizer)
         return st, es2, next_obs, rew
@@ -65,21 +77,48 @@ class Trainer:
     def _rollout_impl(self, st: SACState, es, obs):
         key, k1 = jax.random.split(st.key)
         acts = self.sac.act(st, obs, k1)
-        es2, next_obs, rew, term, trunc = self.env._step_impl(es, acts)
+        es2, next_obs, rew, term, trunc, info = self.env._step_impl(es, acts)
         st = dataclasses.replace(st, key=key)
-        st, metrics = self.sac.train_step(st, obs, acts, rew, next_obs, term)
+        st, metrics = self.sac.train_step(
+            st, obs, acts, rew, info["final_obs"], term
+        )
         return st, es2, next_obs, rew, metrics
 
-    def train(self, seed=0, progress=print):
+    def _apply_stage(self, st: SACState, env_steps):
+        """Set (target_entropy, lr_scale) for the stage containing env_steps.
+
+        Host-side between jitted steps; writing into the state pytree keeps
+        the jitted update un-retraced (the reference instead calls
+        model.learn once per stage, train_sac.py:452-481)."""
+        stages = self.tcfg.stages
+        if not stages:
+            return st
+        te, lr = stages[-1][1], stages[-1][2]
+        for end, s_te, s_lr in reversed(stages):
+            if env_steps < end * self.tcfg.num_envs:
+                te, lr = s_te, s_lr
+        if getattr(self, "_cur_stage", None) == (te, lr):
+            return st
+        self._cur_stage = (te, lr)
+        return dataclasses.replace(
+            st,
+            target_entropy=jnp.asarray(te, jnp.float32),
+            lr_scale=jnp.asarray(lr / self.sac.cfg.lr, jnp.float32),
+        )
+
+    def train(self, seed=0, progress=print, init_state: SACState | None = None):
         t = self.tcfg
-        st = self.sac.init(jax.random.PRNGKey(seed))
+        st = init_state if init_state is not None else self.sac.init(
+            jax.random.PRNGKey(seed)
+        )
         es = self.env.reset(jax.random.PRNGKey(seed + 1))
         # initial obs from a fresh position pass
         obs = self._initial_obs(es)
-        steps = 0
+        steps = int(st.step)  # resumes continue the step count
         t0 = time.time()
         rew_acc = []
         while steps * t.num_envs < t.total_steps:
+            st = self._apply_stage(st, steps * t.num_envs)
             if steps * t.num_envs < t.learning_starts:
                 st, es, obs, rew = self._rollout_warm(st, es, obs)
                 metrics = {}
@@ -120,8 +159,16 @@ class Trainer:
     # -- checkpointing -------------------------------------------------------
 
     def save(self, st: SACState, path, step):
+        import json
+
         import orbax.checkpoint as ocp
 
+        os.makedirs(path, exist_ok=True)
+        # SACConfig sidecar so restore can rebuild matching pytree shapes
+        # (buffer/batch sizes vary per run; cf. the reference persisting
+        # VecNormalize + replay buffer next to the model, train_sac.py:406-426)
+        with open(os.path.join(path, "sac_config.json"), "w") as f:
+            json.dump(dataclasses.asdict(self.sac.cfg), f)
         path = os.path.abspath(os.path.join(path, f"ckpt_{step}"))
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, st)
@@ -134,3 +181,17 @@ class Trainer:
         target = self.sac.init(jax.random.PRNGKey(0))
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(os.path.abspath(path), target)
+
+    @staticmethod
+    def load_config(ckpt_path) -> SACConfig | None:
+        """Read the SACConfig sidecar written next to a checkpoint."""
+        import json
+
+        cfg_file = os.path.join(os.path.dirname(os.path.abspath(ckpt_path)),
+                                "sac_config.json")
+        if not os.path.exists(cfg_file):
+            return None
+        with open(cfg_file) as f:
+            raw = json.load(f)
+        raw["features"] = tuple(raw.get("features", (256, 256)))
+        return SACConfig(**raw)

@@ -40,7 +40,7 @@ class BatchedEnv:
     Usage:
         env = BatchedEnv(model, "so100_cube_to_bin", num_envs=4096)
         es = env.reset(jax.random.PRNGKey(0))
-        es, obs, reward, done, info = env.step(es, actions)
+        es, obs, reward, terminated, truncated, info = env.step(es, actions)
     """
 
     def __init__(
@@ -83,6 +83,8 @@ class BatchedEnv:
         ).astype(jnp.float32)
 
     def _step_impl(self, es, actions):
+        from ..ops import smooth
+
         def one(es, a):
             es2, obs, reward, terminated, d = core.step(
                 self.m, es, a, self.ids, self.task
@@ -97,9 +99,22 @@ class BatchedEnv:
                 ),
                 fresh, es2,
             )
-            return es3, self._obs_vector(obs), reward, terminated, truncated
+            final_obs = self._obs_vector(obs)
+            # Gymnasium autoreset convention: at episode boundaries the
+            # returned obs is the FRESH episode's first observation (so the
+            # policy's next action is computed from the state it will act
+            # in); the terminal obs goes to info["final_obs"] for correct
+            # bootstrapping of the boundary transition.  Sites only ->
+            # kinematics suffices, no collision pass.
+            d0 = smooth.kinematics(self.m, fresh.physics)
+            reset_obs = self._obs_vector(
+                core.observations(self.m, d0, fresh.physics, self.ids)
+            )
+            obs_out = jnp.where(done, reset_obs, final_obs)
+            return es3, obs_out, reward, terminated, truncated, final_obs
 
-        return jax.vmap(one)(es, actions)
+        es2, obs, rew, term, trunc, final_obs = jax.vmap(one)(es, actions)
+        return es2, obs, rew, term, trunc, {"final_obs": final_obs}
 
     # -- public API ----------------------------------------------------------
 
@@ -108,7 +123,9 @@ class BatchedEnv:
 
     def step(self, es, actions):
         """Returns (state, obs (B, 15) f32, reward (B,), terminated (B,),
-        truncated (B,))."""
+        truncated (B,), info) — obs at episode boundaries is the new
+        episode's first observation; info["final_obs"] carries the terminal
+        one (Gymnasium vector autoreset convention)."""
         return self._step(es, actions)
 
     # -- sharding -------------------------------------------------------------

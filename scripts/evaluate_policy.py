@@ -31,7 +31,11 @@ def main():
     args = p.parse_args()
 
     m, _ = _cached_model(ASSETS_XML, "float32")
-    trainer = Trainer(m, TrainConfig(num_envs=1), SACConfig())
+    # rebuild the exact SACConfig the checkpoint was trained with (sidecar
+    # written by Trainer.save) so restored pytree shapes match; fall back to
+    # defaults for pre-sidecar checkpoints
+    cfg = Trainer.load_config(args.checkpoint) or SACConfig()
+    trainer = Trainer(m, TrainConfig(num_envs=1), cfg)
     st = trainer.restore(args.checkpoint)
 
     env = gym.make(

@@ -50,18 +50,20 @@ def main():
         renderer = Renderer(m, aux)
 
     print("wasd: xy move, r/f: up/down, q/e: yaw, o/p: gripper, x: quit")
+    # KeyboardController is used only as the cbreak-mode context manager;
+    # its update() must NOT run here — it owns a different keymap (q=quit,
+    # x=joint key) that would shadow this script's documented bindings.
+    import select
+    import sys as _sys
+
     with KeyboardController() as ctl:
         t_end = time.time() + args.seconds
-        while time.time() < t_end and ctl.running:
-            ctl.update()
-            import select
-            import sys as _sys
-
+        running = True
+        while time.time() < t_end and running:
             dp = np.zeros(3, np.float32)
             dyaw = 0.0
             grip = None
-            # reuse the controller's last pressed keys via stdin directly
-            keys = getattr(ctl, "_pending", "")
+            keys = ""
             while select.select([_sys.stdin], [], [], 0)[0]:
                 keys += _sys.stdin.read(1)
             for ch in keys:
@@ -86,7 +88,7 @@ def main():
                 elif ch == "p":
                     grip = -0.174
                 elif ch == "x":
-                    ctl.running = False
+                    running = False
             mp = s.mocap_pos + jnp.asarray(dp)[None]
             mq = s.mocap_quat
             if dyaw:

@@ -19,7 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax.numpy as jnp  # noqa: E402
 
 from gym_so100_tpu.agents.sac import SACConfig  # noqa: E402
-from gym_so100_tpu.agents.train import TrainConfig, Trainer  # noqa: E402
+from gym_so100_tpu.agents.train import (  # noqa: E402
+    REFERENCE_STAGES,
+    TrainConfig,
+    Trainer,
+)
 from gym_so100_tpu.envs.gym_env import ASSETS_XML, _cached_model  # noqa: E402
 
 
@@ -37,9 +41,22 @@ def main():
     p.add_argument("--resume", default=None, help="checkpoint path to restore")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hull-contacts", action="store_true")
+    p.add_argument(
+        "--stages", action="store_true",
+        help="use the reference's 3-stage entropy/LR curriculum "
+        "(train_sac.py:429-482)",
+    )
     args = p.parse_args()
 
     m, _ = _cached_model(ASSETS_XML, "float32")
+    sac_cfg = SACConfig(
+        lr=args.lr, buffer_size=args.buffer_size, batch_size=args.batch_size
+    )
+    if args.resume:
+        # rebuild from the saved sidecar so restored pytree shapes match
+        saved = Trainer.load_config(args.resume)
+        if saved is not None:
+            sac_cfg = saved
     trainer = Trainer(
         m,
         TrainConfig(
@@ -50,15 +67,19 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             hull_contacts=args.hull_contacts,
+            stages=REFERENCE_STAGES if args.stages else (),
         ),
-        SACConfig(
-            lr=args.lr, buffer_size=args.buffer_size, batch_size=args.batch_size
-        ),
+        sac_cfg,
     )
+    init_state = None
     if args.resume:
-        st = trainer.restore(args.resume)
-        print(f"resumed from {args.resume} at step {int(st.step)}")
-    trainer.train(seed=args.seed, progress=lambda l: print(json.dumps(l), flush=True))
+        init_state = trainer.restore(args.resume)
+        print(f"resumed from {args.resume} at step {int(init_state.step)}")
+    trainer.train(
+        seed=args.seed,
+        progress=lambda l: print(json.dumps(l), flush=True),
+        init_state=init_state,
+    )
 
 
 if __name__ == "__main__":

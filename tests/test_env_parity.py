@@ -122,7 +122,7 @@ def test_batched_env_matches_single():
     env = BatchedEnv(m, "so100_touch_cube", num_envs=4)
     es = env.reset(jax.random.PRNGKey(0))
     acts = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (4, 6)))
-    es2, obs, rew, term, trunc = env.step(es, acts)
+    es2, obs, rew, term, trunc, info = env.step(es, acts)
     ids = core.TaskIds.from_model(m)
     for i in range(4):
         esi = jax.tree_util.tree_map(lambda a: a[i], es)
