@@ -211,3 +211,23 @@ def step(m: Model, es: EnvState, action, ids: TaskIds, task: str):
         physics=s, t=es.t + 1, key=es.key, box_pose=es.box_pose
     )
     return es2, obs, reward, terminated, d
+
+
+def step_batched(m: Model, es: EnvState, actions, ids: TaskIds, task: str):
+    """Batched `step`: identical semantics to vmap(step) over a leading env
+    axis, but the physics substeps run through fwd.step_batched so the
+    collision stage uses the batch-last lanes kernels (the TPU throughput
+    path; see ops/collision/boxbox_lanes.py)."""
+    act6 = C.unnormalize_so100(
+        jnp.asarray(actions)[..., :6].astype(es.physics.qpos.dtype)
+    )
+    s = es.physics.replace(ctrl=act6)
+    s = fwd.n_steps_batched(m, s, C.N_SUBSTEPS)
+    d = fwd.position_stage_batched(m, s)
+    reward, success = jax.vmap(lambda d1: task_reward(m, d1, ids, task))(d)
+    obs = jax.vmap(lambda d1, s1: observations(m, d1, s1, ids))(d, s)
+    terminated = reward == 4.0
+    es2 = EnvState(
+        physics=s, t=es.t + 1, key=es.key, box_pose=es.box_pose
+    )
+    return es2, obs, reward, terminated, d

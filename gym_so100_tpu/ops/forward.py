@@ -55,6 +55,54 @@ def n_steps(m: Model, s: State, n: int) -> State:
     return s_final
 
 
+# ---------------------------------------------------------------------------
+# Batched (lanes) variants — the TPU throughput path.  Identical semantics to
+# vmap(step) etc., but collision runs in batch-last lanes form
+# (narrowphase.collide_batched): profiled on-chip, vmapped box-box is ~97%
+# of the whole substep at B=1024 purely through layout padding.
+# ---------------------------------------------------------------------------
+
+
+def forward_batched(m: Model, s: State) -> Data:
+    """vmap(forward) equivalent; `s` leaves have a leading env axis."""
+    d = jax.vmap(lambda s1: smooth.forward_smooth(m, s1))(s)
+    con = narrowphase.collide_batched(m, d)
+    d = d.replace(contact=con)
+
+    def tail(d1, s1, c1):
+        efc = constraint_mod.make_efc(m, d1, s1, c1)
+        qacc, qfrc, force, niter = solver_mod.solve(
+            m, d1, efc, s1.qacc_warmstart
+        )
+        return d1.replace(
+            qacc=qacc, qfrc_constraint=qfrc, solver_niter=niter
+        )
+
+    return jax.vmap(tail)(d, s, con)
+
+
+def step_batched(m: Model, s: State) -> tuple[State, Data]:
+    d = forward_batched(m, s)
+    s2 = jax.vmap(lambda s1, a: smooth.integrate(m, s1, a))(s, d.qacc)
+    s2 = s2.replace(qacc_warmstart=d.qacc)
+    return s2, d
+
+
+def n_steps_batched(m: Model, s: State, n: int) -> State:
+    def body(s, _):
+        s2, _ = step_batched(m, s)
+        return s2, None
+
+    s_final, _ = jax.lax.scan(body, s, None, length=n)
+    return s_final
+
+
+def position_stage_batched(m: Model, s: State) -> Data:
+    d = jax.vmap(lambda s1: smooth.kinematics(m, s1))(s)
+    con = narrowphase.collide_batched(m, d)
+    return d.replace(contact=con)
+
+
 def position_stage(m: Model, s: State) -> Data:
     """mj_step1-equivalent position/collision refresh: kinematics + contacts
     for the *current* state, no constraint solve.  dm_control calls this

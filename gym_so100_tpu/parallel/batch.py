@@ -85,36 +85,36 @@ class BatchedEnv:
     def _step_impl(self, es, actions):
         from ..ops import smooth
 
-        def one(es, a):
-            es2, obs, reward, terminated, d = core.step(
-                self.m, es, a, self.ids, self.task
-            )
-            truncated = es2.t >= self.max_episode_steps
-            done = terminated | truncated
-            # auto-reset: next state fresh when done
-            fresh = core.reset(self.m, es2.key)
-            es3 = jax.tree_util.tree_map(
-                lambda f, c: jnp.where(
-                    jnp.reshape(done, (1,) * f.ndim if f.ndim else ()), f, c
-                ),
-                fresh, es2,
-            )
-            final_obs = self._obs_vector(obs)
-            # Gymnasium autoreset convention: at episode boundaries the
-            # returned obs is the FRESH episode's first observation (so the
-            # policy's next action is computed from the state it will act
-            # in); the terminal obs goes to info["final_obs"] for correct
-            # bootstrapping of the boundary transition.  Sites only ->
-            # kinematics suffices, no collision pass.
-            d0 = smooth.kinematics(self.m, fresh.physics)
-            reset_obs = self._obs_vector(
-                core.observations(self.m, d0, fresh.physics, self.ids)
-            )
-            obs_out = jnp.where(done, reset_obs, final_obs)
-            return es3, obs_out, reward, terminated, truncated, final_obs
-
-        es2, obs, rew, term, trunc, final_obs = jax.vmap(one)(es, actions)
-        return es2, obs, rew, term, trunc, {"final_obs": final_obs}
+        es2, obs, reward, terminated, d = core.step_batched(
+            self.m, es, actions, self.ids, self.task
+        )
+        truncated = es2.t >= self.max_episode_steps
+        done = terminated | truncated
+        # auto-reset: next state fresh when done
+        fresh = jax.vmap(lambda k: core.reset(self.m, k))(es2.key)
+        es3 = jax.tree_util.tree_map(
+            lambda f, c: jnp.where(
+                jnp.reshape(done, done.shape + (1,) * (f.ndim - 1)), f, c
+            ),
+            fresh, es2,
+        )
+        final_obs = self._obs_vector(obs)
+        # Gymnasium autoreset convention: at episode boundaries the returned
+        # obs is the FRESH episode's first observation (so the policy's next
+        # action is computed from the state it will act in); the terminal
+        # obs goes to info["final_obs"] for correct bootstrapping of the
+        # boundary transition.  Sites only -> kinematics suffices, no
+        # collision pass.
+        d0 = jax.vmap(lambda s1: smooth.kinematics(self.m, s1))(fresh.physics)
+        reset_obs = self._obs_vector(
+            jax.vmap(
+                lambda d1, s1: core.observations(self.m, d1, s1, self.ids)
+            )(d0, fresh.physics)
+        )
+        obs_out = jnp.where(done[:, None], reset_obs, final_obs)
+        return es3, obs_out, reward, terminated, truncated, {
+            "final_obs": final_obs
+        }
 
     # -- public API ----------------------------------------------------------
 

@@ -1,0 +1,185 @@
+"""Lanes (batch-last) collision path vs the per-env AoS reference path.
+
+The TPU throughput pipeline (boxbox_lanes + collide_batched + step_batched)
+must be semantically identical to vmap over the per-env implementation that
+the oracle-parity tests validate against MuJoCo.  These tests pin that
+equivalence on CPU at f64.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_so100_tpu.envs import core
+from gym_so100_tpu.models.builder import build_model
+from gym_so100_tpu.ops import forward as fwd
+from gym_so100_tpu.ops.collision import boxbox, boxbox_lanes, narrowphase
+
+XML = "/root/reference/gym_so100/assets/so100_transfer_cube.xml"
+
+
+def _rand_rot(key, n):
+    q = jax.random.normal(key, (n, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        -2,
+    )
+
+
+def _comps_vec(a):
+    return tuple(a[..., i] for i in range(3))
+
+
+def _comps_mat(a):
+    return tuple(tuple(a[..., i, j] for j in range(3)) for i in range(3))
+
+
+def test_boxbox_lanes_matches_aos():
+    """Random overlapping box pairs: lanes kernel == vmapped AoS kernel."""
+    N = 256
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    p1 = jax.random.uniform(k1, (N, 3), minval=-0.1, maxval=0.1)
+    p2 = p1 + jax.random.uniform(k2, (N, 3), minval=-0.08, maxval=0.08)
+    R1 = _rand_rot(k3, N)
+    R2 = _rand_rot(k4, N)
+    s1 = jax.random.uniform(k5, (N, 3), minval=0.02, maxval=0.08)
+    s2 = jax.random.uniform(k6, (N, 3), minval=0.02, maxval=0.08)
+
+    ref = jax.vmap(boxbox.box_box)(p1, R1, s1, p2, R2, s2)
+    out = boxbox_lanes.box_box_lanes(
+        _comps_vec(p1), _comps_mat(R1), _comps_vec(s1),
+        _comps_vec(p2), _comps_mat(R2), _comps_vec(s2),
+    )
+    depth = jnp.stack(out["depth"], -1)          # (N, MAXP)
+    active = jnp.stack(out["active"], -1)
+    pos = jnp.stack(
+        [jnp.stack(pk, -1) for pk in out["pos"]], -2
+    )                                            # (N, MAXP, 3)
+    normal = jnp.stack(out["normal"], -1)
+
+    assert bool(jnp.any(ref["active"])), "test setup produced no contacts"
+    np.testing.assert_array_equal(np.asarray(active), np.asarray(ref["active"]))
+    act = np.asarray(ref["active"])
+    np.testing.assert_allclose(
+        np.asarray(depth)[act], np.asarray(ref["depth"])[act], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(pos)[act], np.asarray(ref["pos"])[act], atol=1e-10
+    )
+    rownorm = np.asarray(normal)[act.any(-1)]
+    refnorm = np.asarray(ref["normal"])[act.any(-1)]
+    np.testing.assert_allclose(rownorm, refnorm, atol=1e-10)
+
+
+def test_boxbox_lanes_resting_stack():
+    """Axis-aligned resting contact (the tie-break-sensitive case)."""
+    N = 3
+    eye = jnp.broadcast_to(jnp.eye(3), (N, 3, 3))
+    s1 = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.05]), (N, 3))  # slabs
+    s2 = jnp.broadcast_to(jnp.asarray([0.02, 0.02, 0.02]), (N, 3))
+    p1 = jnp.zeros((N, 3))
+    # cube resting / hovering / interpenetrating
+    z = jnp.asarray([0.0695, 0.08, 0.065])
+    p2 = jnp.stack([jnp.full((N,), 0.01), jnp.full((N,), -0.02), z], -1)
+
+    ref = jax.vmap(boxbox.box_box)(p1, eye, s1, p2, eye, s2)
+    out = boxbox_lanes.box_box_lanes(
+        _comps_vec(p1), _comps_mat(eye), _comps_vec(s1),
+        _comps_vec(p2), _comps_mat(eye), _comps_vec(s2),
+    )
+    depth = jnp.stack(out["depth"], -1)
+    active = jnp.stack(out["active"], -1)
+    np.testing.assert_array_equal(np.asarray(active), np.asarray(ref["active"]))
+    act = np.asarray(ref["active"])
+    np.testing.assert_allclose(
+        np.asarray(depth)[act], np.asarray(ref["depth"])[act], atol=1e-12
+    )
+    assert act[0].sum() == 4 and act[2].sum() == 4  # corner manifolds
+    assert act[1].sum() == 0                        # hovering
+
+
+@pytest.fixture(scope="module")
+def model64():
+    m, _ = build_model(XML, max_contacts=24)
+    return m
+
+
+def _settled_states(m, B, steps=6):
+    """A batch of env states stepped into the contact-rich regime."""
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    es = jax.jit(jax.vmap(lambda k: core.reset(m, k)))(keys)
+    s = es.physics
+    roll = jax.jit(jax.vmap(lambda s1: fwd.n_steps(m, s1, 10)))
+    for _ in range(steps):
+        s = roll(s)
+    return s
+
+
+def test_collide_batched_matches_vmap(model64):
+    m = model64
+    s = _settled_states(m, B=4)
+    d = jax.jit(jax.vmap(lambda s1: fwd.smooth.kinematics(m, s1)))(s)
+    ref = jax.jit(jax.vmap(lambda d1: narrowphase.collide(m, d1)))(d)
+    out = jax.jit(lambda d1: narrowphase.collide_batched(m, d1))(d)
+    # compare as (dist, geom-pair) multisets per env: candidate ordering may
+    # permute equal-depth slots between the two selection implementations
+    for b in range(4):
+        ra = np.asarray(ref.active[b])
+        oa = np.asarray(out.active[b])
+        assert ra.sum() == oa.sum()
+        r = sorted(
+            zip(
+                np.asarray(ref.dist[b])[ra].round(10).tolist(),
+                np.asarray(ref.geom1[b])[ra].tolist(),
+                np.asarray(ref.geom2[b])[ra].tolist(),
+            )
+        )
+        o = sorted(
+            zip(
+                np.asarray(out.dist[b])[oa].round(10).tolist(),
+                np.asarray(out.geom1[b])[oa].tolist(),
+                np.asarray(out.geom2[b])[oa].tolist(),
+            )
+        )
+        for (rd, rg1, rg2), (od, og1, og2) in zip(r, o):
+            assert (rg1, rg2) == (og1, og2)
+            assert abs(rd - od) < 1e-9
+
+
+def test_step_batched_matches_vmap(model64):
+    """Full control steps: batched lanes path tracks vmap(per-env step)."""
+    m = model64
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    es = jax.vmap(lambda k: core.reset(m, k))(keys)
+    ids = core.TaskIds.from_model(m)
+    acts = jax.random.uniform(
+        jax.random.PRNGKey(3), (B, 6), jnp.float64, -1, 1
+    )
+
+    step_a = jax.jit(
+        jax.vmap(lambda e, a: core.step(m, e, a, ids, "so100_cube_to_bin"))
+    )
+    step_b = jax.jit(
+        lambda e, a: core.step_batched(m, e, a, ids, "so100_cube_to_bin")
+    )
+    es_a, es_b = es, es
+    for i in range(3):
+        es_a, obs_a, rew_a, term_a, _ = step_a(es_a, acts)
+        es_b, obs_b, rew_b, term_b, _ = step_b(es_b, acts)
+        np.testing.assert_allclose(
+            np.asarray(es_a.physics.qpos), np.asarray(es_b.physics.qpos),
+            atol=1e-6, err_msg=f"step {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rew_a), np.asarray(rew_b), atol=1e-6
+        )
