@@ -11,6 +11,7 @@ single jit-compiled control step.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -25,7 +26,8 @@ from . import constants as C
 from . import core
 from ..render.rasterizer import Renderer
 
-ASSETS_XML = "/root/reference/gym_so100/assets/so100_transfer_cube.xml"
+ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets")
+ASSETS_XML = os.path.join(ASSETS_DIR, "so100_transfer_cube.xml")
 
 _MODEL_CACHE = {}
 

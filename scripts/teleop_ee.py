@@ -23,7 +23,9 @@ from gym_so100_tpu.ops import forward as fwd  # noqa: E402
 from gym_so100_tpu.ops import quat as quat_ops  # noqa: E402
 from gym_so100_tpu.teleop.input import KeyboardController  # noqa: E402
 
-EE_XML = "/root/reference/gym_so100/assets/so100_transfer_cube_ee.xml"
+from gym_so100_tpu.envs.gym_env import ASSETS_DIR  # noqa: E402
+
+EE_XML = os.path.join(ASSETS_DIR, "so100_transfer_cube_ee.xml")
 STEP = 0.004  # m per tick
 ROT = 0.05   # rad per tick
 

@@ -116,7 +116,7 @@ def test_batched_env_matches_single():
     from gym_so100_tpu.parallel.batch import BatchedEnv
 
     m, _ = _cached_model(
-        "/root/reference/gym_so100/assets/so100_transfer_cube.xml",
+        ASSETS_XML,
         "float64" if jax.config.jax_enable_x64 else "float32",
     )
     env = BatchedEnv(m, "so100_touch_cube", num_envs=4)

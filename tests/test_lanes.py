@@ -17,7 +17,7 @@ from gym_so100_tpu.models.builder import build_model
 from gym_so100_tpu.ops import forward as fwd
 from gym_so100_tpu.ops.collision import boxbox, boxbox_lanes, narrowphase
 
-XML = "/root/reference/gym_so100/assets/so100_transfer_cube.xml"
+from gym_so100_tpu.envs.gym_env import ASSETS_XML as XML  # noqa: E402
 
 
 def _rand_rot(key, n):

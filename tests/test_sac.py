@@ -87,7 +87,7 @@ def test_trainer_smoke():
     from gym_so100_tpu.envs.gym_env import _cached_model
 
     m, _ = _cached_model(
-        "/root/reference/gym_so100/assets/so100_transfer_cube.xml", "float32"
+        ASSETS_XML, "float32"
     )
     t = Trainer(
         m,
