@@ -40,11 +40,20 @@ _DEFAULT_SOLREF = np.array([0.02, 1.0])
 _DEFAULT_SOLIMP = np.array([0.9, 0.95, 0.001, 0.5, 2.0])
 
 
-def build_model(path: str, max_contacts: int = 32, keep_visual: bool = False) -> tuple[Model, dict]:
+def build_model(
+    path: str, max_contacts: int = 32, keep_visual: bool = False,
+    ccd_manifolds: bool = False,
+) -> tuple[Model, dict]:
     """Compile an MJCF file into a Model.
 
     Returns (model, aux) where aux holds build-only products (keyframes dict,
     render meshes with faces) that don't belong on the jitted model.
+
+    ccd_manifolds=True additionally packs exact (non-decimated) convex hulls
+    and coplanar-merged face polygons for every pair MuJoCo resolves with its
+    native convex collider, and switches the per-env collide path to
+    multi-point manifold contacts (ops/collision/manifold.py) — the strict
+    parity configuration.  The batched f32 throughput path is unaffected.
     """
     import jax
 
@@ -53,7 +62,7 @@ def build_model(path: str, max_contacts: int = 32, keep_visual: bool = False) ->
     # close over it in jitted code, which transfers it once at compile time).
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        return _build(doc, max_contacts, keep_visual)
+        return _build(doc, max_contacts, keep_visual, ccd_manifolds)
 
 
 def _dfs(body: mjcf.Body):
@@ -63,7 +72,10 @@ def _dfs(body: mjcf.Body):
         yield from _dfs(c)
 
 
-def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Model, dict]:
+def _build(
+    doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool,
+    ccd_manifolds: bool = False,
+) -> tuple[Model, dict]:
     bodies = list(_dfs(doc.worldbody))
     nbody = len(bodies)
     body_index = {id(b): i for i, b in enumerate(bodies)}
@@ -124,6 +136,7 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
     g_type, g_bodyid, g_pos, g_quat, g_size = [], [], [], [], []
     g_friction, g_solref, g_solimp, g_condim, g_rgba = [], [], [], [], []
     g_contype, g_conaffinity, g_names, g_meshname = [], [], [], []
+    g_origmesh = []  # original MJCF type was "mesh" (pre box-canonicalization)
     render_geoms = []  # aux info incl. visual-only geoms for the rasterizer
     for bi, b in enumerate(bodies):
         for g in b.geoms:
@@ -161,6 +174,7 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
             g_conaffinity.append(g.conaffinity)
             g_names.append(g.name)
             g_meshname.append(meshname)
+            g_origmesh.append(g.type == "mesh")
     ngeom = len(g_type)
 
     # ---- pack collision-mesh convex hulls ----
@@ -237,17 +251,42 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
     # ---- actuators ----
     jnt_name_to_id = {n: i for i, n in enumerate(jnt_names)}
     a_dofid, a_kp, a_kv_spec, a_dampratio, a_fr, a_cr, a_names = [], [], [], [], [], [], []
+    a_bias0, a_bias1 = [], []
     for a in doc.actuators:
         ji = jnt_name_to_id[a.joint]
         a_dofid.append(jnt_dofadr[ji])
         a_kp.append(a.kp)
         a_kv_spec.append(a.kv)
         a_dampratio.append(a.dampratio)
-        a_fr.append(a.forcerange)
-        cr = np.array(jnt_range[ji]) if a.inheritrange else a.ctrlrange
+        # MuJoCo semantics: a (0, 0) force/ctrl range means unlimited
+        fr = np.asarray(a.forcerange, dtype=float)
+        if fr[0] == 0.0 and fr[1] == 0.0:
+            fr = np.array([-np.inf, np.inf])
+        a_fr.append(fr)
+        cr = np.array(jnt_range[ji]) if a.inheritrange else np.asarray(
+            a.ctrlrange, dtype=float
+        )
+        if cr[0] == 0.0 and cr[1] == 0.0:
+            cr = np.array([-np.inf, np.inf])
         a_cr.append(cr)
         a_names.append(a.name)
+        # affine bias: force = kp*ctrl + bias0 + bias1*length - kv*velocity.
+        # position actuators: bias = (0, -kp); general: biasprm[:2]
+        # (franka_emika_panda/panda_ee.xml:268-285)
+        if a.kind == "general":
+            a_bias0.append(float(a.biasprm[0]))
+            a_bias1.append(float(a.biasprm[1]))
+        else:
+            a_bias0.append(0.0)
+            a_bias1.append(-a.kp)
     nu = len(a_dofid)
+
+    # ---- joint equality couplings ----
+    jeq = doc.joint_eqs
+    jeq_q1 = tuple(jnt_qposadr[jnt_name_to_id[e.joint1]] for e in jeq)
+    jeq_q2 = tuple(jnt_qposadr[jnt_name_to_id[e.joint2]] for e in jeq)
+    jeq_v1 = tuple(jnt_dofadr[jnt_name_to_id[e.joint1]] for e in jeq)
+    jeq_v2 = tuple(jnt_dofadr[jnt_name_to_id[e.joint2]] for e in jeq)
 
     # ---- qpos0 ----
     qpos0 = np.zeros(nq)
@@ -303,6 +342,65 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
     hull_lcen = np.asarray(lcens) if lcens else np.zeros((0, 3))
     hull_lhalf = np.asarray(lhalves) if lhalves else np.zeros((0, 3))
 
+    # ---- exact-hull manifold tables (nativeccd parity path) ----
+    # MuJoCo resolves every pair that involves an (original) mesh geom with
+    # its native convex collider; the strict-parity path mirrors that pair
+    # set with full (non-decimated) hulls + coplanar-merged face polygons
+    # (ops/collision/manifold.py).  Canonicalized box geoms (e.g. the table
+    # mesh) and analytic boxes paired against meshes get synthetic 8-corner
+    # hulls with 6 quad faces.
+    exact_verts = np.zeros((0, 0, 3))
+    exact_polyn = np.zeros((0, 0, 3))
+    exact_polyvid = np.zeros((0, 0, 0), dtype=np.int32)
+    exact_polynv = np.zeros((0, 0), dtype=np.int32)
+    exact_nvert = ()
+    if ccd_manifolds:
+        from . import hullpoly
+
+        flat_id = {pg: i for i, pg in enumerate(pair_list)}
+        ccd_list = [
+            pg for pg in pair_list if g_origmesh[pg[0]] or g_origmesh[pg[1]]
+        ]
+        xgeoms = sorted({g for pg in ccd_list for g in pg})
+        xslot = {g: i for i, g in enumerate(xgeoms)}
+        hv_list, poly_list = [], []
+        for g in xgeoms:
+            if g_meshname[g] is not None:
+                hv, polys = hullpoly.hull_polygons(
+                    doc.meshes[g_meshname[g]].verts
+                )
+            else:
+                hv, polys = hullpoly.box_polygons(np.asarray(g_size[g]))
+            hv_list.append(np.asarray(hv, np.float64))
+            poly_list.append(polys)
+        VX = max(len(h) for h in hv_list)
+        PX = max(len(p) for p in poly_list)
+        PVX = max(max(len(loop) for _, loop in p) for p in poly_list)
+        GX = len(xgeoms)
+        exact_verts = np.zeros((GX, VX, 3))
+        exact_polyn = np.zeros((GX, PX, 3))
+        exact_polyvid = np.zeros((GX, PX, PVX), dtype=np.int32)
+        exact_polynv = np.zeros((GX, PX), dtype=np.int32)
+        nvert = []
+        for i, (hv, polys_i) in enumerate(zip(hv_list, poly_list)):
+            exact_verts[i, : len(hv)] = hv
+            exact_verts[i, len(hv):] = hv[0]  # support-safe padding
+            nvert.append(len(hv))
+            for pi, (pnrm, loop) in enumerate(polys_i):
+                exact_polyn[i, pi] = pnrm
+                exact_polyvid[i, pi, : len(loop)] = loop
+                exact_polynv[i, pi] = len(loop)
+        exact_nvert = tuple(nvert)
+        import dataclasses as _dc
+
+        pairs = _dc.replace(
+            pairs,
+            ccd=tuple(
+                (pg[0], pg[1], flat_id[pg], xslot[pg[0]], xslot[pg[1]])
+                for pg in ccd_list
+            ),
+        )
+
     import jax.numpy as jnp
 
     f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64))
@@ -351,6 +449,10 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         hull_start=tuple(hull_start),
         eq_site1=tuple(s_names.index(w.site1) for w in doc.welds),
         eq_site2=tuple(s_names.index(w.site2) for w in doc.welds),
+        eq_jnt_q1=jeq_q1,
+        eq_jnt_q2=jeq_q2,
+        eq_jnt_v1=jeq_v1,
+        eq_jnt_v2=jeq_v2,
         gravity=f(doc.option.gravity),
         body_pos=f([b.pos for b in bodies]),
         body_quat=f([b.quat for b in bodies]),
@@ -378,6 +480,11 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         geom_solimp=f(g_solimp) if g_solimp else f(np.zeros((0, 5))),
         geom_rgba=f(g_rgba) if g_rgba else f(np.zeros((0, 4))),
         mesh_verts=f(mesh_verts),
+        exact_verts=f(exact_verts),
+        exact_polyn=f(exact_polyn),
+        exact_polyvid=jnp.asarray(exact_polyvid),
+        exact_polynv=jnp.asarray(exact_polynv),
+        exact_nvert=exact_nvert,
         site_pos=f(s_pos) if s_pos else f(np.zeros((0, 3))),
         site_quat=f(s_quat) if s_quat else f(np.zeros((0, 4))),
         cam_pos=f(c_pos) if c_pos else f(np.zeros((0, 3))),
@@ -385,6 +492,8 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         cam_fovy=f(c_fovy) if c_fovy else f(np.zeros(0)),
         actuator_kp=f(a_kp) if a_kp else f(np.zeros(0)),
         actuator_kv=f(np.zeros(nu)),
+        actuator_bias0=f(a_bias0) if a_bias0 else f(np.zeros(0)),
+        actuator_bias1=f(a_bias1) if a_bias1 else f(np.zeros(0)),
         actuator_forcerange=f(a_fr) if a_fr else f(np.zeros((0, 2))),
         actuator_ctrlrange=f(a_cr) if a_cr else f(np.zeros((0, 2))),
         qpos0=f(qpos0),
@@ -398,6 +507,9 @@ def _build(doc: mjcf.MjcfDoc, max_contacts: int, keep_visual: bool) -> tuple[Mod
         hull_lhalf=f(hull_lhalf),
         eq_solref=f([w.solref for w in doc.welds]) if doc.welds else f(np.zeros((0, 2))),
         eq_solimp=f([w.solimp for w in doc.welds]) if doc.welds else f(np.zeros((0, 5))),
+        eq_jnt_poly=f([e.polycoef for e in jeq]) if jeq else f(np.zeros((0, 5))),
+        eq_jnt_solref=f([e.solref for e in jeq]) if jeq else f(np.zeros((0, 2))),
+        eq_jnt_solimp=f([e.solimp for e in jeq]) if jeq else f(np.zeros((0, 5))),
     )
 
     model = _compute_derived(model, a_kp, a_kv_spec, a_dampratio)

@@ -23,7 +23,7 @@ from typing import Optional
 
 import numpy as np
 
-from .stl import load_stl
+from .stl import load_mesh
 
 # MuJoCo global defaults for attributes we consume.
 _GEOM_DEFAULTS = dict(
@@ -65,6 +65,16 @@ _POSITION_DEFAULTS = dict(
     ctrlrange="0 0",
     inheritrange="0",
     gear="1",
+)
+_GENERAL_DEFAULTS = dict(
+    gainprm="1 0 0",
+    biasprm="0 0 0",
+    forcerange="0 0",
+    ctrlrange="0 0",
+    gear="1",
+    dyntype="none",
+    gaintype="fixed",
+    biastype="none",
 )
 _SITE_DEFAULTS = dict(pos="0 0 0", quat="1 0 0 0", size="0.005", type="sphere", rgba="0.5 0.5 0.5 1")
 
@@ -167,13 +177,15 @@ class Body:
 class Actuator:
     name: str
     joint: str
-    kp: float
+    kp: float                    # position: kp; general: gainprm[0]
     kv: float
     dampratio: float
     forcerange: np.ndarray
     ctrlrange: np.ndarray
     inheritrange: bool
     gear: float
+    kind: str = "position"       # "position" | "general"
+    biasprm: np.ndarray = None   # (3,) general actuators only
 
 
 @dataclass
@@ -187,6 +199,17 @@ class Keyframe:
 class Weld:
     site1: str
     site2: str
+    solref: np.ndarray
+    solimp: np.ndarray
+
+
+@dataclass
+class JointEq:
+    """<equality><joint> coupling: q1 - q01 = polycoef(q2 - q02)."""
+
+    joint1: str
+    joint2: str
+    polycoef: np.ndarray  # (5,)
     solref: np.ndarray
     solimp: np.ndarray
 
@@ -212,6 +235,7 @@ class MjcfDoc:
     keyframes: list[Keyframe]
     excludes: list[tuple[str, str]]
     welds: list[Weld]
+    joint_eqs: list[JointEq]
 
 
 class _Defaults:
@@ -272,6 +296,7 @@ class _Parser:
         self.keyframes: list[Keyframe] = []
         self.excludes: list[tuple[str, str]] = []
         self.welds: list[Weld] = []
+        self.joint_eqs: list[JointEq] = []
         self.angle = "degree"
         self.meshdir = ""
         self.worldbody = Body("world", np.zeros(3), np.array([1.0, 0, 0, 0]))
@@ -326,8 +351,24 @@ class _Parser:
                     if a.tag == "mesh":
                         name = a.get("name") or os.path.splitext(os.path.basename(a.get("file")))[0]
                         scale = _fl(a.get("scale", "1 1 1"), 3)
+                        if a.get("vertex") is not None:
+                            # inline vertex list (MJCF <mesh vertex="...">);
+                            # faces from the convex hull like MuJoCo
+                            verts = np.asarray(
+                                _fl(a.get("vertex")), dtype=np.float64
+                            ).reshape(-1, 3) * scale[None, :]
+                            try:
+                                from scipy.spatial import ConvexHull
+
+                                faces = ConvexHull(verts).simplices.astype(
+                                    np.int32
+                                )
+                            except Exception:
+                                faces = np.zeros((0, 3), np.int32)
+                            self.meshes[name] = MeshAsset(name, verts, faces)
+                            continue
                         p = _resolve_mesh_path(a.get("file"), filedir, self.main_dir, self.meshdir)
-                        verts, faces = load_stl(p, scale)
+                        verts, faces = load_mesh(p, scale)
                         self.meshes[name] = MeshAsset(name, verts, faces)
         # Pass 2: worldbody content, actuators, contacts, equality, keyframes.
         for elem, filedir in elements:
@@ -335,31 +376,84 @@ class _Parser:
                 self._parse_body_children(elem, self.worldbody, "main")
             elif elem.tag == "actuator":
                 for a in elem:
-                    if a.tag != "position":
-                        raise NotImplementedError(f"actuator {a.tag}")
-                    attrs = self.defaults.resolve("position", a, "main")
-                    merged = dict(_POSITION_DEFAULTS)
-                    merged.update({k: v for k, v in attrs.items() if v is not None})
-                    self.actuators.append(
-                        Actuator(
-                            name=a.get("name", a.get("joint")),
-                            joint=attrs["joint"],
-                            kp=float(merged["kp"]),
-                            kv=float(merged["kv"]),
-                            dampratio=float(merged["dampratio"]),
-                            forcerange=_fl(merged["forcerange"], 2),
-                            ctrlrange=_fl(merged["ctrlrange"], 2),
-                            inheritrange=merged["inheritrange"] not in ("0", "false", 0),
-                            gear=float(str(merged["gear"]).split()[0]),
+                    if a.tag == "position":
+                        attrs = self.defaults.resolve("position", a, "main")
+                        merged = dict(_POSITION_DEFAULTS)
+                        merged.update({k: v for k, v in attrs.items() if v is not None})
+                        self.actuators.append(
+                            Actuator(
+                                name=a.get("name", a.get("joint")),
+                                joint=attrs["joint"],
+                                kp=float(merged["kp"]),
+                                kv=float(merged["kv"]),
+                                dampratio=float(merged["dampratio"]),
+                                forcerange=_fl(merged["forcerange"], 2),
+                                ctrlrange=_fl(merged["ctrlrange"], 2),
+                                inheritrange=merged["inheritrange"] not in ("0", "false", 0),
+                                gear=float(str(merged["gear"]).split()[0]),
+                            )
                         )
-                    )
+                    elif a.tag == "general":
+                        # affine gain/bias actuators (the Panda EE scene,
+                        # franka_emika_panda/panda_ee.xml:268-285):
+                        # force = gainprm0*ctrl + biasprm . [1, length, vel]
+                        attrs = self.defaults.resolve("general", a, "main")
+                        merged = dict(_GENERAL_DEFAULTS)
+                        merged.update({k: v for k, v in attrs.items() if v is not None})
+                        if merged["dyntype"] != "none":
+                            raise NotImplementedError(
+                                f"general actuator dyntype {merged['dyntype']}"
+                            )
+                        if merged["gaintype"] != "fixed":
+                            raise NotImplementedError(
+                                f"general actuator gaintype {merged['gaintype']}"
+                            )
+                        if "joint" not in merged or merged.get("joint") is None:
+                            raise NotImplementedError(
+                                "general actuators require a joint transmission"
+                            )
+                        gain = _fl_pad(merged["gainprm"], [1.0, 0.0, 0.0])[:3]
+                        bias = _fl_pad(merged["biasprm"], [0.0, 0.0, 0.0])[:3]
+                        self.actuators.append(
+                            Actuator(
+                                name=a.get("name", merged.get("joint")),
+                                joint=merged["joint"],
+                                kp=float(gain[0]),
+                                kv=-float(bias[2]),
+                                dampratio=0.0,
+                                forcerange=_fl(merged["forcerange"], 2),
+                                ctrlrange=_fl(merged["ctrlrange"], 2),
+                                inheritrange=False,
+                                gear=float(str(merged["gear"]).split()[0]),
+                                kind="general",
+                                biasprm=np.asarray(bias),
+                            )
+                        )
+                    else:
+                        raise NotImplementedError(f"actuator {a.tag}")
             elif elem.tag == "contact":
                 for c in elem:
                     if c.tag == "exclude":
                         self.excludes.append((c.get("body1"), c.get("body2")))
             elif elem.tag == "equality":
                 for e in elem:
-                    if e.tag == "weld":
+                    if e.tag == "joint":
+                        self.joint_eqs.append(
+                            JointEq(
+                                joint1=e.get("joint1"),
+                                joint2=e.get("joint2"),
+                                polycoef=_fl_pad(
+                                    e.get("polycoef", "0 1 0 0 0"),
+                                    [0.0, 1.0, 0.0, 0.0, 0.0],
+                                ),
+                                solref=_fl_pad(e.get("solref", "0.02 1"), [0.02, 1.0]),
+                                solimp=_fl_pad(
+                                    e.get("solimp", "0.9 0.95 0.001 0.5 2"),
+                                    [0.9, 0.95, 0.001, 0.5, 2.0],
+                                ),
+                            )
+                        )
+                    elif e.tag == "weld":
                         self.welds.append(
                             Weld(
                                 site1=e.get("site1"),
@@ -385,6 +479,7 @@ class _Parser:
             keyframes=self.keyframes,
             excludes=self.excludes,
             welds=self.welds,
+            joint_eqs=self.joint_eqs,
         )
 
     # -- orientation handling ---------------------------------------------

@@ -73,6 +73,13 @@ class CollisionPairs:
     box_box: tuple = static(default=())      # box/box (incl. meshes canonicalized to boxes)
     hull_box: tuple = static(default=())     # convex mesh vs box (mesh first)
     hull_hull: tuple = static(default=())    # convex mesh vs convex mesh
+    # strict-parity manifold pairs: every pair MuJoCo resolves with its
+    # native convex collider (at least one original mesh geom).  Entries are
+    # (geom1, geom2, flat_pair_id, exact_slot1, exact_slot2); populated only
+    # by build_model(ccd_manifolds=True) and consumed by
+    # ops/collision/manifold.py — empty tuple selects the legacy
+    # single-point hull path.
+    ccd: tuple = static(default=())
 
 
 @_pytree
@@ -132,6 +139,11 @@ class Model:
     # weld equality constraints (site pairs), static ids
     eq_site1: tuple = static(default=())
     eq_site2: tuple = static(default=())
+    # joint equality couplings q1 - q01 = polycoef(q2 - q02), static addressing
+    eq_jnt_q1: tuple = static(default=())   # qpos addresses of joint1
+    eq_jnt_q2: tuple = static(default=())
+    eq_jnt_v1: tuple = static(default=())   # dof addresses
+    eq_jnt_v2: tuple = static(default=())
 
     # --- numeric arrays (traced) ---
     gravity: jnp.ndarray = None
@@ -166,8 +178,10 @@ class Model:
     cam_pos: jnp.ndarray = None       # (NC, 3)
     cam_quat: jnp.ndarray = None      # (NC, 4)
     cam_fovy: jnp.ndarray = None      # (NC,)
-    actuator_kp: jnp.ndarray = None   # (NU,)
-    actuator_kv: jnp.ndarray = None   # (NU,)
+    actuator_kp: jnp.ndarray = None   # (NU,) gain (general: gainprm[0])
+    actuator_kv: jnp.ndarray = None   # (NU,) velocity damping (-biasprm[2])
+    actuator_bias0: jnp.ndarray = None  # (NU,) constant bias (biasprm[0])
+    actuator_bias1: jnp.ndarray = None  # (NU,) length bias; position: -kp
     actuator_forcerange: jnp.ndarray = None  # (NU, 2)
     actuator_ctrlrange: jnp.ndarray = None   # (NU, 2)
     qpos0: jnp.ndarray = None         # (NQ,)
@@ -181,8 +195,17 @@ class Model:
     hull_vertsT: jnp.ndarray = None   # (3, nblocks*HULL_BLOCK) packed hulls
     hull_lcen: jnp.ndarray = None     # (nblocks, 3) local AABB centers
     hull_lhalf: jnp.ndarray = None    # (nblocks, 3) local AABB half extents
+    # exact-hull manifold tables (pairs.ccd; geom-frame; see builder)
+    exact_verts: jnp.ndarray = None    # (GX, VX, 3) full hulls, padded
+    exact_polyn: jnp.ndarray = None    # (GX, PX, 3) face polygon normals
+    exact_polyvid: jnp.ndarray = None  # (GX, PX, PVX) int32 polygon vert ids
+    exact_polynv: jnp.ndarray = None   # (GX, PX) int32 polygon sizes
+    exact_nvert: tuple = static(default=())  # (GX,) hull vert counts
     eq_solref: jnp.ndarray = None     # (NEQ, 2)
     eq_solimp: jnp.ndarray = None     # (NEQ, 5)
+    eq_jnt_poly: jnp.ndarray = None    # (NJEQ, 5) polycoef
+    eq_jnt_solref: jnp.ndarray = None  # (NJEQ, 2)
+    eq_jnt_solimp: jnp.ndarray = None  # (NJEQ, 5)
 
     def body_id(self, name: str) -> int:
         return self.names_body.index(name)

@@ -1,10 +1,11 @@
-"""Minimal STL mesh loader (binary and ASCII), numpy only.
+"""Minimal mesh loaders (binary/ASCII STL + Wavefront OBJ), numpy only.
 
 Used at model-build time to load the SO-ARM100 collision/visual meshes that the
 reference scene references from MJCF (/root/reference/gym_so100/assets/
-trs_so_arm100/so_arm100.xml:9-27).  Returns unique vertices and triangle
-indices; vertex welding matches what a physics engine needs (support functions
-and rendering), not any particular CAD tool's output.
+trs_so_arm100/so_arm100.xml:9-27) and the Panda meshes (franka_emika_panda/
+assets/*.obj).  Returns unique vertices and triangle indices; vertex welding
+matches what a physics engine needs (support functions and rendering), not any
+particular CAD tool's output.
 """
 
 from __future__ import annotations
@@ -12,6 +13,34 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+
+def load_mesh(path: str, scale=(1.0, 1.0, 1.0)):
+    """Load a mesh by extension (.stl or .obj)."""
+    if path.lower().endswith(".obj"):
+        return load_obj(path, scale)
+    return load_stl(path, scale)
+
+
+def load_obj(path: str, scale=(1.0, 1.0, 1.0)):
+    """Wavefront OBJ: v/f records only (normals/uv/materials ignored);
+    polygon faces are fan-triangulated.  Returns (verts (V,3) f64,
+    faces (F,3) i32)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    v = np.asarray(verts, np.float64) * np.asarray(scale, np.float64)
+    return v, np.asarray(faces, np.int32)
 
 
 def load_stl(path: str, scale=(1.0, 1.0, 1.0)):

@@ -1,0 +1,76 @@
+"""Panda EE scene: general actuators, joint equality, mocap weld IK.
+
+Covers the reference capability slice of scripts/teleop_ee_pandas.py
+(franka_emika_panda/panda_ee.xml: `general` actuators with affine gain/bias
+:268-285, finger-coupling joint equality :265, mocap weld :287-289).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_so100_tpu.envs.gym_env import ASSETS_DIR
+from gym_so100_tpu.models.builder import build_model
+from gym_so100_tpu.ops import forward as fwd
+
+XML = os.path.join(ASSETS_DIR, "pandas_transfer_cube_ee.xml")
+
+
+@pytest.fixture(scope="module")
+def panda():
+    return build_model(XML, max_contacts=24)
+
+
+def test_panda_compiles(panda):
+    m, aux = panda
+    assert m.nu == 8
+    assert len(m.eq_site1) == 1       # mocap weld
+    assert len(m.eq_jnt_q1) == 1      # finger coupling
+    # general-actuator tables: gainprm[0] / biasprm (panda_ee.xml:268-285)
+    kp = np.asarray(m.actuator_kp)
+    np.testing.assert_allclose(kp[:4], [4500, 4500, 3500, 3500])
+    np.testing.assert_allclose(np.asarray(m.actuator_bias1)[:2], [-4500, -4500])
+    np.testing.assert_allclose(np.asarray(m.actuator_kv)[:2], [450, 450])
+    # unlimited (0 0) forcerange resolves to +-inf, set ranges kept
+    fr = np.asarray(m.actuator_forcerange)
+    assert np.isfinite(fr[:7]).all()
+    assert "home" in aux["keyframes"]
+
+
+def test_panda_mocap_weld_ik(panda):
+    """The arm servos to the keyframe and the weld tracks mocap moves
+    (implicit IK, the mechanism teleop_ee_pandas drives)."""
+    m, aux = panda
+    m32 = m.astype(jnp.float32)
+    kq, kc = aux["keyframes"]["home"]
+    s = fwd.make_state(m32, qpos=kq, ctrl=kc, dtype=jnp.float32)
+    ee = m.site_id("ee_site")
+    kin = jax.jit(lambda s: fwd.smooth.kinematics(m32, s).site_xpos[ee])
+    p0 = np.asarray(kin(s))
+    s = s.replace(mocap_pos=jnp.asarray(p0)[None])
+    roll = jax.jit(lambda s: fwd.n_steps(m32, s, 10))
+    for _ in range(25):
+        s = roll(s)
+    q = np.asarray(s.qpos)
+    assert np.isfinite(q).all()
+    drift = np.linalg.norm(np.asarray(kin(s)) - p0)
+    assert drift < 0.05, drift
+
+    # move the weld target 3 cm +x: the ee must follow
+    s2 = s.replace(mocap_pos=s.mocap_pos + jnp.asarray([[0.03, 0, 0]]))
+    for _ in range(50):
+        s2 = roll(s2)
+    dx = np.asarray(kin(s2)) - np.asarray(kin(s))
+    assert dx[0] > 0.015, dx
+
+    # finger coupling: joint equality keeps finger2 tracking finger1
+    f1 = m.joint_id("finger_joint1")
+    f2 = m.joint_id("finger_joint2")
+    qa = np.asarray(s2.qpos)
+    q1 = qa[m.jnt_qposadr[f1]]
+    q2 = qa[m.jnt_qposadr[f2]]
+    assert abs(q1 - q2) < 5e-3, (q1, q2)
