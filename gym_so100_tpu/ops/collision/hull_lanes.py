@@ -1,0 +1,241 @@
+"""Convex-hull narrowphase in batch-last "lanes" form: the TPU f32 path.
+
+Semantically the sampled-direction support sweep of `gjk._dir_penetration`
+(the f32 throughput collider; replaces MuJoCo's convex narrowphase invoked
+from the reference hot loop, /root/reference/gym_so100/env.py step ->
+mj_step -> mj_collision for mesh geoms), re-laid-out for the TPU memory
+system.  The vmapped per-env version (`narrowphase._hull_chunk`) costs
+~100 ms/substep at B=1024 and dominates hulls-on stepping: per-env
+dynamic-slice vertex windows, per-env top-K slot selection (12 sequential
+argmin+scatter rounds), and (B, KH, ND, HULL_BLOCK) support tables that
+tile-pad the minor dims.  This module replaces all of it with dense
+batch-last array ops:
+
+* **Geom-level support tables.**  Each unique hull geom's support heights
+  max_v d.x and min_v d.x are computed ONCE per substep over the fixed
+  direction set and shared by every pair touching that geom (the scene has
+  129 hull pairs over 25 geoms — a 5x dedup).  Tables are (ND, G, B):
+  direction-major, batch minor, so every op runs full-width lanes.
+* **Pairs are adds, not sweeps.**  Per pair, the overlap extent along d is
+  `h[d] = maxA[d] - minB[d]`; depth/normal fall out of one argmin reduction
+  over the direction axis.  No per-pair vertex work until the witness.
+* **Witness by unrolled running argmax.**  The contact point needs the
+  extreme vertex of each geom along the winning direction only; it is
+  recomputed with a HULL_BLOCK-step unrolled select chain on (P, B) lanes
+  (no gathers, no one-hots).
+* **No per-env candidate selection.**  All pairs feed the global
+  deepest-max_contacts selection in the narrowphase driver (MuJoCo likewise
+  narrowphases every broadphase-surviving pair); the per-geom-pair AABB
+  overlap test is kept as a lanes-computed activity mask.
+
+The f64 parity path keeps the exact per-env GJK+EPA (`gjk._convex_core`).
+`tests/test_hull_lanes.py` pins this module against the vmapped
+`_dir_penetration` reference on random pose batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from . import gjk as gjk_mod
+
+HULL_BLOCK = gjk_mod.HULL_BLOCK
+
+
+def _static_hull_tables(m):
+    """Per-geom static vertex/AABB tables for the geoms in the hull pair
+    list.
+
+    Geoms are ordered small-hulls-first and split into size buckets so the
+    unrolled support chain runs only as deep as each bucket's vertex count
+    (the scene mixes 8-vert boxes with 64-vert decimated arm hulls; one
+    uniform 64-deep chain would waste 2.6x the vertex work).
+
+    Returns (gidx (G,) geom ids in bucket order, buckets [(lo, hi, V)],
+    verts (3, Vmax, G) zero-padded, lcen/lhalf (G, 3), i1/i2 (P,) pair
+    indices into the bucket ordering)."""
+    hulls = m.pairs.hull_box + m.pairs.hull_hull
+    gset = sorted({g for p in hulls for g in p})
+    vt = np.asarray(m.hull_vertsT, np.float64)  # (3, nblocks*HULL_BLOCK)
+
+    def nverts(g):
+        st = m.hull_start[g]
+        blk = vt[:, st : st + HULL_BLOCK]
+        # builder pads each hull to HULL_BLOCK by repeating vertex 0 at the
+        # tail; the true count is one past the last column differing from it
+        diff = np.any(blk != blk[:, :1], axis=0)
+        return int(np.max(np.nonzero(diff)[0])) + 1 if diff.any() else 1
+
+    gset = sorted(gset, key=nverts)
+    counts = [nverts(g) for g in gset]
+    pos_in_set = {g: i for i, g in enumerate(gset)}
+
+    # buckets: consecutive runs padded to the run max, split where the
+    # count at least doubles (keeps the pad waste < 2x within a bucket)
+    buckets = []
+    lo = 0
+    for i in range(1, len(gset) + 1):
+        if i == len(gset) or counts[i] > 2 * counts[lo]:
+            buckets.append((lo, i, max(counts[lo:i])))
+            lo = i
+    Vmax = max(c for c in counts)
+    verts = np.zeros((3, Vmax, len(gset)))
+    for k, g in enumerate(gset):
+        st = m.hull_start[g]
+        verts[:, : counts[k], k] = vt[:, st : st + counts[k]]
+        # pad by repeating vertex 0 (a phantom vertex inside the hull would
+        # corrupt the min-support table; a repeat never changes max or min)
+        verts[:, counts[k] :, k] = vt[:, st : st + 1]
+    rows = [m.hull_start[g] // HULL_BLOCK for g in gset]
+    lcen = np.asarray(m.hull_lcen)[rows]
+    lhalf = np.asarray(m.hull_lhalf)[rows]
+    i1 = np.asarray([pos_in_set[p[0]] for p in hulls], np.int32)
+    i2 = np.asarray([pos_in_set[p[1]] for p in hulls], np.int32)
+    gidx = np.asarray(gset, np.int32)
+    return gidx, buckets, verts, lcen, lhalf, i1, i2
+
+
+def collide_hulls_lanes(m, d, margin=0.0):
+    """All hull pairs for a batched Data (leaves (B, ...)), f32.
+
+    Returns (pos (B,P,3), normal (B,P,3), depth (B,P), active (B,P),
+    pair_ids (P,)) matching the candidate-chunk contract of the
+    narrowphase driver."""
+    dtype = d.geom_xpos.dtype
+    gidx, buckets, verts_np, lcen_np, lhalf_np, i1, i2 = _static_hull_tables(m)
+    G = gidx.shape[0]
+    P = i1.shape[0]
+    B = d.geom_xpos.shape[0]
+
+    Dset = gjk_mod._dir_set_np(gjk_mod.N_PEN_DIRS)  # (ND, 3) static
+    ND = Dset.shape[0]
+    Dj = [jnp.asarray(Dset[:, j], dtype) for j in range(3)]  # 3 x (ND,)
+
+    # geom poses in lanes form: p (3, G, B), R (3, 3, G, B)
+    gx = d.geom_xpos[:, gidx, :]           # (B, G, 3)
+    gm = d.geom_xmat[:, gidx, :, :]        # (B, G, 3, 3)
+    p = [jnp.transpose(gx[..., k]) for k in range(3)]            # (G, B)
+    R = [[jnp.transpose(gm[..., j, k]) for k in range(3)] for j in range(3)]
+
+    # local direction components per geom: ld[k] (ND, G, B) = sum_j D_j R[j][k]
+    ld = [
+        sum(Dj[j][:, None, None] * R[j][k][None] for j in range(3))
+        for k in range(3)
+    ]
+    # world-frame d . p term (ND, G, B)
+    dp = sum(Dj[j][:, None, None] * p[j][None] for j in range(3))
+
+    # support tables: running max/min over the vertex chain, unrolled per
+    # size bucket (each bucket's chain stops at its own vertex count).
+    # verts_np[:, v, lo:hi] is a static row broadcast against (ND, G_b, B).
+    smax_parts, smin_parts = [], []
+    for lo, hi, V in buckets:
+        vx = jnp.asarray(verts_np[0, :, lo:hi], dtype)  # (Vmax, G_b)
+        vy = jnp.asarray(verts_np[1, :, lo:hi], dtype)
+        vz = jnp.asarray(verts_np[2, :, lo:hi], dtype)
+        ldb = [c[:, lo:hi, :] for c in ld]
+        s0 = (
+            ldb[0] * vx[0][:, None] + ldb[1] * vy[0][:, None]
+            + ldb[2] * vz[0][:, None]
+        )
+        smax = s0
+        smin = s0
+        for v in range(1, V):
+            s = (
+                ldb[0] * vx[v][:, None] + ldb[1] * vy[v][:, None]
+                + ldb[2] * vz[v][:, None]
+            )
+            smax = jnp.maximum(smax, s)
+            smin = jnp.minimum(smin, s)
+        smax_parts.append(smax)
+        smin_parts.append(smin)
+    Ttop = jnp.concatenate(smax_parts, axis=1) + dp  # (ND, G, B) max_x d.x
+    Tbot = jnp.concatenate(smin_parts, axis=1) + dp  # min_x d.x
+
+    # --- per-pair overlap: h[d] = maxA(d) - minB(d);  argmin_d picks the
+    # least-overlap (deepest-separating) sampled direction ---
+    H = Ttop[:, i1, :] - Tbot[:, i2, :]          # (ND, P, B)
+    bd = jnp.argmin(H, axis=0)                   # (P, B) winning direction
+    depth = -jnp.min(H, axis=0)                  # negative when penetrating
+    nrm = [jnp.take(Dj[j], bd) for j in range(3)]  # (P, B) world normal 1->2
+
+    # --- witness points: extreme vertex of each geom along the winning
+    # direction, recomputed as an unrolled running-select chain ---
+    def pair_lanes(arr, idx):
+        return arr[idx]  # static gather on leading-axis-free (G, B) -> (P, B)
+
+    Vmax = verts_np.shape[1]
+
+    def extreme(idx, sign):
+        """argmax_v of sign * (d_local . v) for the pair's geom `idx`."""
+        Rp = [[pair_lanes(R[j][k], idx) for k in range(3)] for j in range(3)]
+        ldk = [
+            sum(nrm[j] * Rp[j][k] for j in range(3)) for k in range(3)
+        ]  # (P, B) local winning direction
+        vxg = np.asarray(verts_np[0][:, idx])  # (Vmax, P) static
+        vyg = np.asarray(verts_np[1][:, idx])
+        vzg = np.asarray(verts_np[2][:, idx])
+        best = sign * (
+            ldk[0] * vxg[0][:, None] + ldk[1] * vyg[0][:, None]
+            + ldk[2] * vzg[0][:, None]
+        )
+        wx = jnp.broadcast_to(jnp.asarray(vxg[0], dtype)[:, None], best.shape)
+        wy = jnp.broadcast_to(jnp.asarray(vyg[0], dtype)[:, None], best.shape)
+        wz = jnp.broadcast_to(jnp.asarray(vzg[0], dtype)[:, None], best.shape)
+        for v in range(1, Vmax):
+            s = sign * (
+                ldk[0] * vxg[v][:, None] + ldk[1] * vyg[v][:, None]
+                + ldk[2] * vzg[v][:, None]
+            )
+            better = s > best
+            best = jnp.where(better, s, best)
+            wx = jnp.where(better, jnp.asarray(vxg[v], dtype)[:, None], wx)
+            wy = jnp.where(better, jnp.asarray(vyg[v], dtype)[:, None], wy)
+            wz = jnp.where(better, jnp.asarray(vzg[v], dtype)[:, None], wz)
+        # world frame: p + R w
+        px = pair_lanes(p[0], idx)
+        py = pair_lanes(p[1], idx)
+        pz = pair_lanes(p[2], idx)
+        return (
+            px + Rp[0][0] * wx + Rp[0][1] * wy + Rp[0][2] * wz,
+            py + Rp[1][0] * wx + Rp[1][1] * wy + Rp[1][2] * wz,
+            pz + Rp[2][0] * wx + Rp[2][1] * wy + Rp[2][2] * wz,
+        )
+
+    a = extreme(i1, 1.0)    # max of geom1 along +d
+    b = extreme(i2, -1.0)   # min of geom2 along +d
+    pos = [0.5 * (a[k] + b[k]) for k in range(3)]
+
+    # --- AABB activity mask (the broadphase `_hull_chunk` applies) ---
+    lc = [jnp.asarray(lcen_np[:, k], dtype) for k in range(3)]   # (G,)
+    lh = [jnp.asarray(lhalf_np[:, k], dtype) for k in range(3)]
+    wc = [
+        p[k]
+        + R[k][0] * lc[0][:, None] + R[k][1] * lc[1][:, None]
+        + R[k][2] * lc[2][:, None]
+        for k in range(3)
+    ]
+    wh = [
+        jnp.abs(R[k][0]) * lh[0][:, None] + jnp.abs(R[k][1]) * lh[1][:, None]
+        + jnp.abs(R[k][2]) * lh[2][:, None]
+        for k in range(3)
+    ]
+    ov = None
+    for k in range(3):
+        lo = jnp.maximum(wc[k][i1] - wh[k][i1], wc[k][i2] - wh[k][i2])
+        hi = jnp.minimum(wc[k][i1] + wh[k][i1], wc[k][i2] + wh[k][i2])
+        e = hi - lo
+        ov = e if ov is None else jnp.minimum(ov, e)
+
+    active = (depth < margin) & (ov > 0)         # (P, B)
+
+    # --- AoS exports (B, P, ...) for the candidate concat ---
+    pos_b = jnp.stack([jnp.transpose(c) for c in pos], axis=-1)
+    nrm_b = jnp.stack([jnp.transpose(c) for c in nrm], axis=-1)
+    pair_ids = len(m.pairs.box_box) + jnp.arange(P, dtype=jnp.int32)
+    return (
+        pos_b, nrm_b, jnp.transpose(depth), jnp.transpose(active),
+        jnp.broadcast_to(pair_ids, (B, P)),
+    )

@@ -93,20 +93,30 @@ def _hull_chunk(m: Model, d: Data, dtype):
 
 
 def collide(m: Model, d: Data) -> Contact:
-    """Run all candidate pairs, select deepest max_contacts points."""
+    """Run all candidate pairs, select deepest max_contacts points.
+
+    With pairs.ccd populated (build_model(ccd_manifolds=True)), every pair
+    MuJoCo resolves with its native convex collider — all hull pairs plus
+    box pairs whose partner is an original mesh (e.g. cube vs the
+    box-canonicalized table) — runs the exact-hull multi-point manifold
+    path instead (ops/collision/manifold.py); only true box-box prim pairs
+    stay on the SAT clip collider, mirroring MuJoCo's dispatch."""
     dtype = d.geom_xpos.dtype
     chunks = []  # (pos (N,3), normal (N,3), depth (N,), active (N,), pair (N,))
 
+    ccd_set = {(p[0], p[1]) for p in m.pairs.ccd}
+
     bb = m.pairs.box_box
-    if bb:
-        g1 = jnp.asarray([p[0] for p in bb], jnp.int32)
-        g2 = jnp.asarray([p[1] for p in bb], jnp.int32)
+    bb_keep = [i for i, p in enumerate(bb) if p not in ccd_set]
+    if bb_keep:
+        g1 = jnp.asarray([bb[i][0] for i in bb_keep], jnp.int32)
+        g2 = jnp.asarray([bb[i][1] for i in bb_keep], jnp.int32)
         out = jax.vmap(boxbox.box_box)(
             d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
             d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
         )
-        P, K = len(bb), boxbox.MAXP
-        pair_ids = jnp.repeat(jnp.arange(P, dtype=jnp.int32), K)
+        P, K = len(bb_keep), boxbox.MAXP
+        pair_ids = jnp.repeat(jnp.asarray(bb_keep, jnp.int32), K)
         chunks.append((
             out["pos"].reshape(P * K, 3),
             jnp.repeat(out["normal"], K, axis=0),
@@ -115,8 +125,13 @@ def collide(m: Model, d: Data) -> Contact:
             pair_ids,
         ))
 
+    if m.pairs.ccd:
+        from . import manifold
+
+        chunks.append(manifold.ccd_chunk(m, d, dtype))
+
     hulls = m.pairs.hull_box + m.pairs.hull_hull
-    if hulls:
+    if hulls and not m.pairs.ccd:
         chunks.append(_hull_chunk(m, d, dtype))
 
     pos = jnp.concatenate([c[0] for c in chunks])
@@ -128,6 +143,13 @@ def collide(m: Model, d: Data) -> Contact:
     # select deepest K among active (NaN-sanitized: inactive narrowphase
     # slots may carry inf/NaN depths, and argmin treats NaN as a minimum)
     K = m.max_contacts
+    if pos.shape[0] < K:  # tiny scenes: fewer candidates than the buffer
+        padn = K - pos.shape[0]
+        pos = jnp.concatenate([pos, jnp.zeros((padn, 3), pos.dtype)])
+        normal = jnp.concatenate([normal, jnp.zeros((padn, 3), normal.dtype)])
+        depth = jnp.concatenate([depth, jnp.full((padn,), jnp.inf, depth.dtype)])
+        active = jnp.concatenate([active, jnp.zeros((padn,), bool)])
+        pair = jnp.concatenate([pair, jnp.zeros((padn,), pair.dtype)])
     key = jnp.where(active & jnp.isfinite(depth), depth, jnp.inf)
     idx = _select_smallest(key, K)
     sel = lambda a: a[idx]
@@ -231,9 +253,12 @@ def collide_batched(m: Model, d: Data) -> Contact:
         active = jnp.stack(
             [ak.reshape(B, P) for ak in out["active"]], axis=-1
         ).reshape(B, P * K)
+        # stack slots at axis=-1 so the flattened candidate order is
+        # pair-major slot-minor, matching depth/active (a -2 stack here
+        # silently indexed positions slot-major: right depths, wrong points)
         pos = jnp.stack(
             [
-                jnp.stack([pk[c].reshape(B, P) for pk in out["pos"]], axis=-2)
+                jnp.stack([pk[c].reshape(B, P) for pk in out["pos"]], axis=-1)
                 for c in range(3)
             ],
             axis=-1,
@@ -249,10 +274,19 @@ def collide_batched(m: Model, d: Data) -> Contact:
 
     hulls = m.pairs.hull_box + m.pairs.hull_hull
     if hulls:
-        hpos, hnorm, hdepth, hact, hpair = jax.vmap(
-            lambda d1: _hull_chunk(m, d1, dtype)
-        )(d)
-        chunks.append((hpos, hnorm, hdepth, hact, hpair))
+        if dtype == jnp.float32:
+            # lanes sweep over ALL hull pairs (no per-env KH-slot selection;
+            # the global deepest-max_contacts pass below is the only cull —
+            # a superset of _hull_chunk's 12-slot candidate set, matching
+            # MuJoCo's run-every-overlapping-pair behavior)
+            from . import hull_lanes
+
+            chunks.append(hull_lanes.collide_hulls_lanes(m, d))
+        else:
+            hpos, hnorm, hdepth, hact, hpair = jax.vmap(
+                lambda d1: _hull_chunk(m, d1, dtype)
+            )(d)
+            chunks.append((hpos, hnorm, hdepth, hact, hpair))
 
     pos = jnp.concatenate([c[0] for c in chunks], axis=1)
     normal = jnp.concatenate([c[1] for c in chunks], axis=1)

@@ -51,12 +51,12 @@ class Efc:
     # a scalar row with neither mask set is an equality row)
     is_floss: jnp.ndarray   # (NE,) bool
     is_limit: jnp.ndarray   # (NE,) bool
-    # contact structure: rows [nf+nl : nf+nl+K*CDIM] in K blocks of CDIM
+    # contact structure: rows [neq+nf+nl : ... + K*CDIM] in K blocks of CDIM
     con_mu: jnp.ndarray     # (K,) circular-cone friction mu0/sqrt(impratio)
     con_uscale: jnp.ndarray  # (K, CDIM) jar -> u scaling (row 0 = 1)
     con_active: jnp.ndarray  # (K,) bool
     con_Dn: jnp.ndarray      # (K,) normal-row D
-    neq: int = 0
+    neq: int = 0            # total equality ROWS (6 per weld + 1 per joint eq)
     nf: int = 0
     nl: int = 0
 
@@ -138,11 +138,16 @@ def point_jacobians(m: Model, d: Data, body_ids, points):
     return jnp.swapaxes(Jt, 1, 2), jnp.swapaxes(Jr, 1, 2)
 
 
-def make_efc(m: Model, d: Data, s: State, con: Contact) -> Efc:
+def equality_rows(m: Model, d: Data, s: State):
+    """Weld + joint equality rows: list of (J, aref, D, R, pos) blocks.
+
+    Factored out of make_efc so the batched lanes assembly
+    (constraint_lanes.make_efc_batched) can reuse it under vmap — equality
+    rows only exist on the EE teleop scenes, which run at single-env or
+    small batch, so the AoS form is fine there."""
     dtype = s.qpos.dtype
     nv = m.nv
-    rows_J, rows_aref, rows_D, rows_R = [], [], [], []
-    rows_pos, rows_floss, rows_isf, rows_isl = [], [], [], []
+    blocks = []
 
     # ---- weld equality rows (6 per weld: 3 translation + 3 rotation) ----
     # site-weld semantics of the EE scenes (so_arm100_ee.xml equality/weld):
@@ -194,11 +199,55 @@ def make_efc(m: Model, d: Data, s: State, con: Contact) -> Efc:
         )
         R = jnp.maximum(MINVAL, (1 - imp) / imp * diag)
         nrows = neq * 6
-        rows_J.append(Jeq.reshape(nrows, nv))
-        rows_aref.append(aref.reshape(-1))
-        rows_D.append((1.0 / R).reshape(-1))
-        rows_R.append(R.reshape(-1))
-        rows_pos.append(res.reshape(-1))
+        blocks.append((
+            Jeq.reshape(nrows, nv), aref.reshape(-1), (1.0 / R).reshape(-1),
+            R.reshape(-1), res.reshape(-1),
+        ))
+
+    # ---- joint equality rows: q1 - q01 = polycoef(q2 - q02) ----
+    # (the Panda gripper's finger coupling, franka_emika_panda/panda_ee.xml
+    # equality/joint; MuJoCo mjEQ_JOINT semantics)
+    njeq = len(m.eq_jnt_q1)
+    if njeq:
+        q1a = jnp.asarray(m.eq_jnt_q1)
+        q2a = jnp.asarray(m.eq_jnt_q2)
+        v1a = jnp.asarray(m.eq_jnt_v1)
+        v2a = jnp.asarray(m.eq_jnt_v2)
+        c = m.eq_jnt_poly  # (NJEQ, 5)
+        x = s.qpos[q2a] - m.qpos0[q2a]
+        poly = c[:, 0] + x * (c[:, 1] + x * (c[:, 2] + x * (c[:, 3] + x * c[:, 4])))
+        dpoly = c[:, 1] + x * (2 * c[:, 2] + x * (3 * c[:, 3] + x * 4 * c[:, 4]))
+        res = (s.qpos[q1a] - m.qpos0[q1a]) - poly
+        J = (
+            jnp.zeros((njeq, nv), dtype)
+            .at[jnp.arange(njeq), v1a].set(1.0)
+            .at[jnp.arange(njeq), v2a].add(-dpoly)
+        )
+        vel = s.qvel[v1a] - dpoly * s.qvel[v2a]
+        imp = impedance(m.eq_jnt_solimp, res)
+        K, B = kb(m.eq_jnt_solref, m.eq_jnt_solimp[:, 1])
+        aref = -B * vel - K * imp * res
+        diag = m.dof_invweight0[v1a] + m.dof_invweight0[v2a]
+        R = jnp.maximum(MINVAL, (1 - imp) / imp * diag)
+        blocks.append((J, aref, 1.0 / R, R, res))
+
+    return blocks
+
+
+def make_efc(m: Model, d: Data, s: State, con: Contact) -> Efc:
+    dtype = s.qpos.dtype
+    nv = m.nv
+    rows_J, rows_aref, rows_D, rows_R = [], [], [], []
+    rows_pos, rows_floss, rows_isf, rows_isl = [], [], [], []
+
+    # ---- equality rows (weld site pairs + joint couplings) ----
+    for J, aref, D, R, pos in equality_rows(m, d, s):
+        nrows = J.shape[0]
+        rows_J.append(J)
+        rows_aref.append(aref)
+        rows_D.append(D)
+        rows_R.append(R)
+        rows_pos.append(pos)
         rows_floss.append(jnp.zeros(nrows, dtype))
         rows_isf.append(jnp.zeros(nrows, bool))
         rows_isl.append(jnp.zeros(nrows, bool))
@@ -337,7 +386,7 @@ def make_efc(m: Model, d: Data, s: State, con: Contact) -> Efc:
         con_uscale=uscale,
         con_active=active,
         con_Dn=Dn * active,
-        neq=neq,
+        neq=len(m.eq_site1) * 6 + len(m.eq_jnt_q1),  # total equality rows
         nf=nf,
         nl=nl,
     )

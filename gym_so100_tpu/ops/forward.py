@@ -64,26 +64,57 @@ def n_steps(m: Model, s: State, n: int) -> State:
 
 
 def forward_batched(m: Model, s: State) -> Data:
-    """vmap(forward) equivalent; `s` leaves have a leading env axis."""
-    d = jax.vmap(lambda s1: smooth.forward_smooth(m, s1))(s)
-    con = narrowphase.collide_batched(m, d)
+    """Batched forward dynamics; `s` leaves have a leading env axis.
+
+    Smooth dynamics and collision run in batch-last lanes form
+    (ops/smooth_lanes.py, ops/collision/boxbox_lanes.py); constraint
+    assembly + Newton solve stay vmapped AoS.  Stages carry
+    jax.named_scope annotations so profiler traces attribute device time."""
+    from . import smooth_lanes
+
+    with jax.named_scope("smooth"):
+        sl = smooth_lanes.forward_smooth_lanes(m, s)
+    qM_lanes = sl.pop("qM_lanes")
+    sl.pop("qL", None)
+    d = Data(
+        geom_xpos=sl["geom_xpos"],
+        geom_xmat=sl["geom_xmat"],
+        site_xpos=sl["site_xpos"],
+        site_xmat=sl["site_xmat"],
+        # only the root row is consumed downstream (point_jacobians)
+        subtree_com=sl["subtree_com0"][:, None, :],
+        cdof=sl["cdof"],
+        qM=sl["qM"],
+        qacc_smooth=sl["qacc_smooth"],
+        qfrc_actuator=sl["qfrc_actuator"],
+        qfrc_passive=sl["qfrc_passive"],
+        qfrc_bias=sl["qfrc_bias"],
+        qfrc_smooth=sl["qfrc_smooth"],
+    )
+    with jax.named_scope("collide"):
+        con = narrowphase.collide_batched(m, d)
     d = d.replace(contact=con)
 
-    def tail(d1, s1, c1):
-        efc = constraint_mod.make_efc(m, d1, s1, c1)
-        qacc, qfrc, force, niter = solver_mod.solve(
-            m, d1, efc, s1.qacc_warmstart
-        )
-        return d1.replace(
-            qacc=qacc, qfrc_constraint=qfrc, solver_niter=niter
-        )
+    with jax.named_scope("efc"):
+        from . import constraint_lanes
 
-    return jax.vmap(tail)(d, s, con)
+        efc = constraint_lanes.make_efc_lanes(m, d, s, con)
+
+    with jax.named_scope("solve"):
+        from . import solver_lanes
+
+        qacc, qfrc, niter = solver_lanes.solve_lanes(
+            m, qM_lanes, d.qacc_smooth, efc, s.qacc_warmstart
+        )
+    return d.replace(qacc=qacc, qfrc_constraint=qfrc, solver_niter=niter)
 
 
 def step_batched(m: Model, s: State) -> tuple[State, Data]:
+    from . import smooth_lanes
+
     d = forward_batched(m, s)
-    s2 = jax.vmap(lambda s1, a: smooth.integrate(m, s1, a))(s, d.qacc)
+    with jax.named_scope("integrate"):
+        s2 = smooth_lanes.integrate_lanes(m, s, d.qacc)
     s2 = s2.replace(qacc_warmstart=d.qacc)
     return s2, d
 

@@ -355,22 +355,28 @@ def rne(m: Model, d: Data, s: State, cinr) -> Data:
 # ---------------------------------------------------------------------------
 
 def actuation(m: Model, d: Data, s: State) -> Data:
-    """Position-servo actuators on joints (MuJoCo position actuator semantics:
-    gain kp on ctrl, affine bias -kp*length - kv*velocity, clamped force).
+    """Joint-transmission actuators with affine gain/bias (MuJoCo fixed-gain
+    + affine-bias semantics): force = gain*ctrl + b0 + b1*length - kv*vel.
 
-    Reference actuator spec: kp=50 dampratio=1 forcerange +-3.5
-    (/root/reference/gym_so100/assets/trs_so_arm100/so_arm100.xml:33,156-163);
-    kv is resolved at build time exactly as MuJoCo's compiler does.
+    Position servos are the special case gain=kp, b0=0, b1=-kp
+    (reference arm: kp=50 dampratio=1 forcerange +-3.5,
+    /root/reference/gym_so100/assets/trs_so_arm100/so_arm100.xml:33,156-163;
+    kv resolved at build time exactly as MuJoCo's compiler does).  `general`
+    actuators (the Panda EE scene, franka_emika_panda/panda_ee.xml:268-285)
+    carry their gainprm/biasprm directly.
     """
     if m.nu == 0:
         return d.replace(qfrc_actuator=jnp.zeros(m.nv, dtype=s.qpos.dtype))
     dofid = jnp.asarray(m.actuator_dofid, jnp.int32)
     # joint transmissions with gear 1: length = qpos[dof], velocity = qvel[dof]
-    qadr = dofid  # for hinge joints dofadr == qposadr in this scene layout
+    qadr = dofid  # for 1-dof joints dofadr == qposadr in these scene layouts
     length = s.qpos[qadr]
     velocity = s.qvel[dofid]
     ctrl = jnp.clip(s.ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1])
-    force = m.actuator_kp * (ctrl - length) - m.actuator_kv * velocity
+    force = (
+        m.actuator_kp * ctrl + m.actuator_bias0 + m.actuator_bias1 * length
+        - m.actuator_kv * velocity
+    )
     force = jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1])
     qfrc = jnp.zeros(m.nv, dtype=s.qpos.dtype).at[dofid].add(force)
     return d.replace(qfrc_actuator=qfrc)

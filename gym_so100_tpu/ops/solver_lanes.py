@@ -1,0 +1,330 @@
+"""Batch-last (lanes) Newton constraint solver — the TPU throughput form.
+
+Same optimization problem, zones, line search, and termination rule as
+solver.solve (see that module's docstring for the math and the MuJoCo
+calibration), but every per-row quantity is a (NE, B) / (K, B) lane array
+with the env batch minor, and the per-env 12x12 dense algebra (Hessian
+gram, Cholesky, triangular solves) runs as unrolled scalar recurrences on
+(B,) lanes.
+
+Why: the vmapped AoS solver reads the (B, NE, nv) Jacobian whose nv=12
+minor pads to 128-lane tiles (10.7x), so each Newton iteration moves
+~10x more HBM than the math needs; measured ~107 ms of the 465 ms
+control step at B=4096.  In lanes form the Jacobian is a list of nv
+(NE, B) arrays — full-width (8, 128) tiles, reductions over the major
+row axis only, no tile-sparse minor-dim slicing.
+
+Consumes constraint_lanes.EfcLanes; numerics match vmap(solver.solve) to
+roundoff (tests/test_solver_lanes.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Model
+from .constraint import CDIM
+from .constraint_lanes import EfcLanes
+from .smooth_lanes import _chol_lanes, _chol_solve_lanes
+
+MINVAL_ = 1e-15
+
+
+def _sym_matvec(M, x, nv):
+    """y_i = sum_j M[i][j] x_j for nested-list lanes M (full storage)."""
+    return [
+        sum(M[i][j] * x[j] for j in range(nv)) for i in range(nv)
+    ]
+
+
+def _cost_terms(efc: EfcLanes, jar):
+    """Constraint cost pieces in lanes form.
+
+    jar: (NE, B).  Returns (cost (B,), grad_s (ns, B), hess_s (ns, B),
+    grad_c (K, CDIM, B), D_c, cone dict).  Scalar-row zone logic uses the
+    STATIC row ranges [eq | floss | limit] instead of boolean masks."""
+    neq, nf, nl = efc.neq, efc.nf, efc.nl
+    start = neq + nf + nl
+    D_s = efc.D[:start]
+    jar_s = jar[:start]
+    jar_c = jar[start:].reshape(-1, CDIM, jar.shape[-1])
+    D_c = efc.D[start:].reshape(jar_c.shape)
+
+    # equality rows: always-active quadratic
+    ge = D_s[:neq] * jar_s[:neq]
+    he = D_s[:neq]
+    ce = 0.5 * ge * jar_s[:neq]
+    # friction loss: Huber
+    jf = jar_s[neq:neq + nf]
+    Df = D_s[neq:neq + nf]
+    fl = efc.floss
+    lim = fl * efc.R[neq:neq + nf]
+    quad = jnp.abs(jf) <= lim
+    cf = jnp.where(quad, 0.5 * Df * jf * jf, fl * jnp.abs(jf) - 0.5 * fl * lim)
+    gf = jnp.where(quad, Df * jf, fl * jnp.sign(jf))
+    hf = jnp.where(quad, Df, 0.0)
+    # limits: one-sided quadratic (D already gated by pos < 0)
+    jl = jar_s[neq + nf:]
+    Dl = D_s[neq + nf:]
+    actl = jl < 0
+    cl = jnp.where(actl, 0.5 * Dl * jl * jl, 0.0)
+    gl = jnp.where(actl, Dl * jl, 0.0)
+    hl = jnp.where(actl, Dl, 0.0)
+
+    grad_s = jnp.concatenate([ge, gf, gl])
+    hess_s = jnp.concatenate([he, hf, hl])
+    cost_s = jnp.sum(ce, 0) + jnp.sum(cf, 0) + jnp.sum(cl, 0)
+
+    # contact cones (scaled circular cone; see solver.py)
+    u = jar_c * efc.con_uscale                    # (K, CDIM, B)
+    un = u[:, 0]
+    ut = u[:, 1:]                                 # (K, 3, B)
+    Traw = jnp.sqrt(jnp.sum(ut * ut, 1))
+    T = jnp.maximum(Traw, jnp.asarray(1e-30, jar.dtype))
+    mu = efc.con_mu
+    Dn = efc.con_Dn
+    bottom = mu * Traw <= un
+    top = Traw <= -mu * un
+    middle = ~(bottom | top) & (Dn > 0)
+    top = top & (Dn > 0)
+
+    w = mu * Traw - un
+    k = Dn / (1 + mu * mu)
+    cost_c = jnp.where(top, 0.5 * jnp.sum(D_c * jar_c * jar_c, 1), 0.0)
+    cost_c = cost_c + jnp.where(middle, 0.5 * k * w * w, 0.0)
+    uhat = ut / T[:, None]
+    g_mid_u = jnp.concatenate([-jnp.ones_like(un)[:, None], mu[:, None] * uhat], 1)
+    grad_c = (
+        top[:, None] * D_c * jar_c
+        + middle[:, None] * (k * w)[:, None] * g_mid_u * efc.con_uscale
+    )
+
+    cost = cost_s + jnp.sum(cost_c, 0)
+    cone = dict(middle=middle, top=top, k=k, w=w, mu=mu, uhat=uhat, T=T)
+    return cost, grad_s, hess_s, grad_c, D_c, cone
+
+
+def _assemble(efc: EfcLanes, jar, nv):
+    """cost (B,), gradient J'g as nv-list of (B,), Hessian lower triangle
+    as nested lists H[i][j] (j <= i) of (B,)."""
+    cost, grad_s, hess_s, grad_c, D_c, cone = _cost_terms(efc, jar)
+    start = efc.neq + efc.nf + efc.nl
+    B = jar.shape[-1]
+    J = efc.J                                     # list of nv (NE, B)
+    Jc = [Jv[start:].reshape(-1, CDIM, B) for Jv in J]  # (K, CDIM, B) per v
+
+    g_all = jnp.concatenate([grad_s, grad_c.reshape(-1, B)])
+    grad = [jnp.sum(Jv * g_all, axis=0) for Jv in J]
+
+    # diag-weight gram over all rows (scalar hessians + top-zone weights)
+    w_top = (cone["top"][:, None] * D_c).reshape(-1, B)
+    w_diag = jnp.concatenate([hess_s, w_top])     # (NE, B)
+    WJ = [w_diag * Jv for Jv in J]
+
+    # middle-zone rank-1: a_v = sum_r g_u[:, r] Jc_v[:, r], H += kk a a'
+    us = efc.con_uscale
+    g_u = jnp.concatenate(
+        [-jnp.ones_like(cone["w"])[:, None], cone["mu"][:, None] * cone["uhat"]],
+        axis=1,
+    ) * us                                        # (K, CDIM, B)
+    kk = cone["k"] * cone["middle"]               # (K, B)
+    a = [jnp.sum(g_u * Jcv, axis=1) for Jcv in Jc]  # (K, B) per v
+
+    # middle-zone curvature: wmu * Jt' (I - uhat uhat')/T Jt in scaled coords
+    uh = cone["uhat"]                             # (K, 3, B)
+    St = us[:, 1:]                                # (K, 3, B)
+    wmu = kk * cone["w"] * cone["mu"] / cone["T"]  # (K, B)
+    SJt = [St * Jcv[:, 1:] for Jcv in Jc]         # (K, 3, B) per v
+    proj = [jnp.sum(uh * SJtv, axis=1) for SJtv in SJt]  # (K, B) per v
+
+    H = [[None] * nv for _ in range(nv)]
+    for i in range(nv):
+        for j in range(i + 1):
+            g1 = jnp.sum(WJ[i] * J[j], axis=0)
+            g2 = jnp.sum(kk * a[i] * a[j], axis=0)
+            g3 = jnp.sum(
+                wmu * (jnp.sum(SJt[i] * SJt[j], axis=1) - proj[i] * proj[j]),
+                axis=0,
+            )
+            H[i][j] = g1 + g2 + g3
+    return cost, grad, H
+
+
+def solve_lanes(m: Model, qM, a0, efc: EfcLanes, warmstart=None):
+    """Newton solve, lanes form.
+
+    qM: nv x nv nested lists of (B,) (full symmetric storage, from
+    smooth_lanes).  a0: (B, nv) qacc_smooth.  warmstart: (B, nv) or None.
+    Returns (qacc (B, nv), qfrc_constraint (B, nv), niter (B,))."""
+    dtype = a0.dtype
+    nv = a0.shape[-1]
+    B = a0.shape[0]
+    a0l = [a0[:, i] for i in range(nv)]
+    J = efc.J
+
+    def jar_of(xs):
+        return sum(J[v] * xs[v] for v in range(nv)) - efc.aref
+
+    def total_cost(xs):
+        jar = jar_of(xs)
+        c, *_ = _cost_terms(efc, jar)
+        dx = [xs[i] - a0l[i] for i in range(nv)]
+        Mdx = _sym_matvec(qM, dx, nv)
+        return c + 0.5 * sum(dx[i] * Mdx[i] for i in range(nv))
+
+    if warmstart is None:
+        x = list(a0l)
+    else:
+        wl = [warmstart[:, i] for i in range(nv)]
+        cw = total_cost(wl)
+        cs = total_cost(a0l)
+        better = cw < cs
+        x = [jnp.where(better, wl[i], a0l[i]) for i in range(nv)]
+
+    f32 = dtype == jnp.float32
+    tol = max(m.solver_tolerance, 64 * float(jnp.finfo(dtype).eps))
+    max_iters = min(m.solver_iterations, 12) if f32 else m.solver_iterations
+    ls_len = 13 if f32 else max(m.ls_iterations, 25)
+    bracket_len = 8 if f32 else 16
+    scale = 1.0 / (jnp.maximum(m.stat_meaninertia, MINVAL_) * max(1, nv))
+    start = efc.neq + efc.nf + efc.nl
+
+    def body(carry):
+        xs, it, done, _ = carry
+        jar = jar_of(xs)
+        cost, gcon, H = _assemble(efc, jar, nv)
+        dx = [xs[i] - a0l[i] for i in range(nv)]
+        Mdx = _sym_matvec(qM, dx, nv)
+        cost = cost + 0.5 * sum(dx[i] * Mdx[i] for i in range(nv))
+        grad = [Mdx[i] + gcon[i] for i in range(nv)]
+        Htot = [[None] * nv for _ in range(nv)]
+        for i in range(nv):
+            for j in range(i + 1):
+                Htot[i][j] = qM[i][j] + H[i][j]
+        L = _chol_lanes(Htot, nv, dtype)
+        dirn = [-v for v in _chol_solve_lanes(L, grad, nv)]
+
+        djar = sum(J[v] * dirn[v] for v in range(nv))   # (NE, B)
+        Md = _sym_matvec(qM, dirn, nv)
+        c1 = sum(dirn[i] * Mdx[i] for i in range(nv))
+        c2 = sum(dirn[i] * Md[i] for i in range(nv))
+        dj_s = djar[:start]
+        dj_c = djar[start:].reshape(-1, CDIM, B)
+
+        def phi_d(alpha):                          # alpha (B,)
+            jar_a = jar + alpha[None] * djar
+            _, gs, hs, gc, D_c, cone = _cost_terms(efc, jar_a)
+            d1 = (
+                c1 + alpha * c2
+                + jnp.sum(gs * dj_s, 0) + jnp.sum(gc * dj_c, (0, 1))
+            )
+            d2_s = jnp.sum(hs * dj_s * dj_s, 0)
+            us = efc.con_uscale
+            du = dj_c * us                         # (K, CDIM, B)
+            d2_top = jnp.sum(cone["top"][:, None] * D_c * dj_c * dj_c, (0, 1))
+            g_u = jnp.concatenate(
+                [-jnp.ones_like(cone["w"])[:, None],
+                 cone["mu"][:, None] * cone["uhat"]], axis=1,
+            )
+            gdot = jnp.sum(g_u * du, 1)            # (K, B)
+            dut = du[:, 1:]
+            uh = cone["uhat"]
+            perp = dut - jnp.sum(dut * uh, 1, keepdims=True) * uh
+            d2_mid = jnp.sum(
+                cone["middle"] * cone["k"] * (
+                    gdot * gdot
+                    + cone["w"] * cone["mu"] / cone["T"]
+                    * jnp.sum(perp * perp, 1)
+                ), 0,
+            )
+            return d1, d2_s + d2_top + d2_mid
+
+        def expand(carry, _):
+            hi, ok = carry
+            d1, _ = phi_d(hi)
+            ok2 = d1 > 0
+            hi2 = jnp.where(ok | ok2, hi, hi * 2.0)
+            return (hi2, ok | ok2), None
+
+        (hi, _), _ = jax.lax.scan(
+            expand, (jnp.ones(B, dtype), jnp.zeros(B, bool)), None,
+            length=bracket_len,
+        )
+        dhi, _ = phi_d(hi)
+        dlo, _ = phi_d(jnp.zeros(B, dtype))
+
+        def ls_body(carry, _):
+            lo, hi, dlo, dhi = carry
+            denom = dhi - dlo
+            a_ = jnp.where(
+                jnp.abs(denom) > MINVAL_,
+                lo - dlo * (hi - lo) / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
+                0.5 * (lo + hi),
+            )
+            a_ = jnp.clip(a_, lo + 1e-14, hi - 1e-14)
+            da, _ = phi_d(a_)
+            neg = da < 0
+            lo2 = jnp.where(neg, a_, lo)
+            dlo2 = jnp.where(neg, da, 0.5 * dlo)
+            hi2 = jnp.where(neg, hi, a_)
+            dhi2 = jnp.where(neg, 0.5 * dhi, da)
+            return (lo2, hi2, dlo2, dhi2), None
+
+        (lo_f, hi_f, dlo_f, dhi_f), _ = jax.lax.scan(
+            ls_body, (jnp.zeros(B, dtype), hi, dlo, dhi), None, length=ls_len,
+        )
+        denom = dhi_f - dlo_f
+        alpha = jnp.where(
+            jnp.abs(denom) > MINVAL_,
+            lo_f - dlo_f * (hi_f - lo_f) / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
+            0.5 * (lo_f + hi_f),
+        )
+        alpha = jnp.where(dlo >= 0, 0.0, alpha)
+
+        x_new = [xs[i] + alpha * dirn[i] for i in range(nv)]
+        cost_new = total_cost(x_new)
+        improvement = (cost - cost_new) * scale
+        gradnorm = jnp.sqrt(sum(g * g for g in grad)) * scale
+        done_new = (improvement < tol) | (gradnorm < tol)
+        keep = cost_new < cost
+        x_out = [jnp.where(keep, x_new[i], xs[i]) for i in range(nv)]
+        return x_out, it + 1, done | done_new, cost_new
+
+    def masked_body(carry):
+        xs, it, done, cost = carry
+        xs2, it2, done2, cost2 = body((xs, it, done, cost))
+        return (
+            [jnp.where(done, xs[i], xs2[i]) for i in range(len(xs))],
+            jnp.where(done, it, it2),
+            done2 | done,
+            jnp.where(done, cost, cost2),
+        )
+
+    carry0 = (
+        x, jnp.zeros(B, jnp.int32), jnp.zeros(B, bool),
+        jnp.full((B,), jnp.inf, dtype),
+    )
+    if f32:
+        # fixed-length masked scan (see solver.py: dynamic while trip counts
+        # are a measured pathology on the tunneled runtime)
+        def scan_body(carry, _):
+            return masked_body(carry), None
+
+        (x, niter, _, _), _ = jax.lax.scan(
+            scan_body, carry0, None, length=max_iters
+        )
+    else:
+        # f64 parity path: iterate until every lane converges; frozen lanes
+        # don't move, so each lane exits exactly like the single-env
+        # while_loop in solver.solve
+        def cond(carry):
+            _, it, done, _ = carry
+            return jnp.any(~done & (it < max_iters))
+
+        x, niter, _, _ = jax.lax.while_loop(cond, masked_body, carry0)
+
+    jar = jar_of(x)
+    _, grad_s, _, grad_c, _, _ = _cost_terms(efc, jar)
+    force = jnp.concatenate([grad_s, grad_c.reshape(-1, B)])
+    qfrc = [-jnp.sum(J[v] * force, axis=0) for v in range(nv)]
+    return jnp.stack(x, axis=-1), jnp.stack(qfrc, axis=-1), niter
