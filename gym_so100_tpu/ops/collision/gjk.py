@@ -63,8 +63,24 @@ def make_blocked_convex_convex(v_allT):
 
 def _convex_core(p1, R1, v1c, p2, R2, v2c, margin):
     dtype = p1.dtype
-    sup = _make_support(p1, R1, v1c, p2, R2, v2c)
 
+    if dtype == jnp.float32:
+        # Throughput path: the sampled-direction support sweep alone.  It
+        # yields BOTH the overlap certificate (min_d h(d) > 0 -> no sampled
+        # separating direction) and the penetration depth/normal/witness in
+        # one pass of pure batched reductions.  The GJK distance loop only
+        # ever contributed the intersect flag here (separated candidates are
+        # masked inactive downstream and never selected), and its 13
+        # sequential iterations of support+barycentric work dominated the
+        # hulls-on substep (~115 ms at B=1024 vs ~10 ms for everything
+        # else).  Error mode: a separation smaller than the angular
+        # resolution of the direction set can be misread as a near-zero
+        # -depth contact; the resulting constraint force at dist ~ 0^- is
+        # negligible.  The f64 parity path below keeps exact GJK+EPA.
+        depth, n, pos = _dir_penetration(p1, R1, v1c, p2, R2, v2c, dtype)
+        return dict(pos=pos, normal=n, depth=depth, active=depth < margin)
+
+    sup = _make_support(p1, R1, v1c, p2, R2, v2c)
     S, W, nsimp, dist2, lam, intersect = _gjk(sup, p1, R1, v1c, p2, R2, v2c)
 
     # separated branch: witnesses from barycentric combination
@@ -73,15 +89,7 @@ def _convex_core(p1, R1, v1c, p2, R2, v2c, margin):
     sep_dist = jnp.sqrt(jnp.maximum(dist2, 1e-300))
     sep_n = (wb - wa) / jnp.maximum(sep_dist, 1e-12)
 
-    if dtype == jnp.float32:
-        # throughput path: sampled-direction penetration (pure elementwise +
-        # reductions; EPA's per-iteration sorts/compactions are pathologically
-        # slow on TPU and dominated the whole physics step)
-        depth_pen, n_pen, pos_pen = _dir_penetration(
-            p1, R1, v1c, p2, R2, v2c, dtype
-        )
-    else:
-        depth_pen, n_pen, pos_pen = _epa(sup, S, W, nsimp, dtype)
+    depth_pen, n_pen, pos_pen = _epa(sup, S, W, nsimp, dtype)
 
     active = intersect & (depth_pen < margin)
     pos = jnp.where(intersect, pos_pen, 0.5 * (wa + wb))
@@ -143,7 +151,15 @@ def _gjk(sup, p1, R1, v1c, p2, R2, v2c):
         n2 = jnp.minimum(n + 1, 4)
         lam2 = _closest_barycentric(S2, n2)
         v2 = lam2 @ S2
-        inter2 = v2 @ v2 < (1e4 * eps * eps) * scale2
+        # intersect when the closest point reaches the origin.  The
+        # barycentric solve leaves O(eps/conditioning) residue, so the
+        # threshold is relative to the shape scale (separations below
+        # 1e-8*scale read as touching — far below any dynamical effect);
+        # additionally, a full simplex with strictly interior closest point
+        # (all four weights positive) contains the origin exactly, which
+        # catches degenerate axis-aligned face-face poses whose residue
+        # plateaus above the distance threshold.
+        inter2 = (v2 @ v2 < (1e-16) * scale2) | jnp.all(lam2 > 0)
         # reduce: keep positive-lam verts at the front (sort-free stable
         # compaction over the 4 slots — argsort is slow on TPU)
         keep = lam2 > 0

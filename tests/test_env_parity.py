@@ -50,13 +50,11 @@ def test_state_obs_reward_parity(env_id, task_steps):
     for i, a in enumerate(_actions(1, task_steps)):
         obs_r, rew_r, term_r, trunc_r, info_r = ref.step(a)
         obs_j, rew_j, term_j, trunc_j, info_j = jx.step(a)
-        # strict while only box-box contacts occur; looser once arm-mesh
-        # contacts appear (MuJoCo's nativeccd emits multi-point manifolds for
-        # mesh pairs where our GJK/EPA emits the deepest point — behavioral,
-        # not bitwise, parity there)
-        obs_tol, rew_tol = (2e-5, 1e-5) if i < 12 else (0.05, 0.05)
-        np.testing.assert_allclose(obs_j, obs_r, atol=obs_tol, err_msg=f"step {i}")
-        np.testing.assert_allclose(rew_j, rew_r, atol=rew_tol, err_msg=f"step {i}")
+        # strict for the whole trajectory: arm-mesh pairs go through the
+        # multi-point manifold collider (ops/collision/manifold.py), matching
+        # MuJoCo's nativeccd contact sets; residual is f32 obs casting
+        np.testing.assert_allclose(obs_j, obs_r, atol=2e-5, err_msg=f"step {i}")
+        np.testing.assert_allclose(rew_j, rew_r, atol=1e-5, err_msg=f"step {i}")
         assert term_j == term_r
         assert info_j["is_success"] == info_r["is_success"]
         if term_r or trunc_r:
@@ -112,7 +110,7 @@ def test_batched_env_matches_single():
     import jax.numpy as jnp
 
     from gym_so100_tpu.envs import core
-    from gym_so100_tpu.envs.gym_env import _cached_model
+    from gym_so100_tpu.envs.gym_env import ASSETS_XML, _cached_model
     from gym_so100_tpu.parallel.batch import BatchedEnv
 
     m, _ = _cached_model(
