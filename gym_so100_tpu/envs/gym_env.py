@@ -35,7 +35,10 @@ _MODEL_CACHE = {}
 def _cached_model(xml_path, dtype_key):
     key = (xml_path, dtype_key)
     if key not in _MODEL_CACHE:
-        m, aux = build_model(xml_path)
+        # f64 (the single-env parity configuration) gets the exact-hull
+        # multi-point manifold collider (build_model docstring); the f32
+        # throughput path keeps decimated single-point hull contacts
+        m, aux = build_model(xml_path, ccd_manifolds=dtype_key != "float32")
         if dtype_key == "float32":
             m = m.astype(jnp.float32)
         _MODEL_CACHE[key] = (m, aux)

@@ -45,8 +45,13 @@ class BatchedEnv:
 
     def __init__(
         self, m: Model, task: str, num_envs: int, max_episode_steps=None,
-        hull_contacts=True,
+        hull_contacts=True, obs_mode="state", obs_height=48, obs_width=64,
+        render_aux=None,
     ):
+        """obs_mode "state" -> flat (15,) state vector (env.py:137-146);
+        "pixels_agent_pos" -> {"pixels": (H, W, 3) uint8 top-camera render,
+        "agent_pos": (6,) qpos} (env.py:50-66) rendered on-device by the
+        batched rasterizer (requires `render_aux` from build_model)."""
         if not hull_contacts:
             # throughput mode: drop arm-mesh collision pairs.  The task
             # physics (cube vs table/pads/bin — all box pairs) is unaffected;
@@ -65,6 +70,21 @@ class BatchedEnv:
         self.num_envs = num_envs
         self.max_episode_steps = max_episode_steps or EPISODE_LIMITS[task]
         self.ids = core.TaskIds.from_model(m)
+        self.obs_mode = obs_mode
+        self.obs_height = obs_height
+        self.obs_width = obs_width
+        self._renderer = None
+        if obs_mode == "pixels_agent_pos":
+            if render_aux is None:
+                raise ValueError(
+                    "pixels obs mode needs render_aux (the aux dict from "
+                    "build_model)"
+                )
+            from ..render.rasterizer import Renderer
+
+            self._renderer = Renderer(m, render_aux, tri_chunk=128)
+        elif obs_mode != "state":
+            raise ValueError(f"unknown obs_mode {obs_mode!r}")
         self._step = jax.jit(self._step_impl)
         self._reset = jax.jit(self._reset_impl)
 
@@ -98,6 +118,24 @@ class BatchedEnv:
             ),
             fresh, es2,
         )
+        if self._renderer is not None:
+            # pixels obs: render the post-autoreset state once (boundary
+            # lanes see the fresh episode's first frame).  final_obs shares
+            # the dict — terminated boundaries never bootstrap from it, so
+            # only truncation boundaries carry this 1/episode approximation.
+            pix = jax.vmap(
+                lambda s1: self._renderer._render_impl(
+                    s1, self.obs_height, self.obs_width, self._renderer._cam["top"]
+                )
+            )(es3.physics)
+            obs_out = {
+                "pixels": pix,
+                "agent_pos": es3.physics.qpos[:, :6].astype(jnp.float32),
+            }
+            return es3, obs_out, reward, terminated, truncated, {
+                "final_obs": obs_out
+            }
+
         final_obs = self._obs_vector(obs)
         # Gymnasium autoreset convention: at episode boundaries the returned
         # obs is the FRESH episode's first observation (so the policy's next

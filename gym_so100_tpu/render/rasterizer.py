@@ -67,10 +67,16 @@ def _decimate(verts, faces, target):
 
 
 class Renderer:
-    """Flat-shaded rasterizer bound to a compiled Model."""
+    """Flat-shaded rasterizer bound to a compiled Model.
 
-    def __init__(self, m: Model, aux: dict, max_tris_per_mesh=700):
+    `tri_chunk` bounds the per-pass (chunk x pixels) working set; lower it
+    for vmapped batched rendering so the edge-function tensors stay small
+    per env lane."""
+
+    def __init__(self, m: Model, aux: dict, max_tris_per_mesh=700,
+                 tri_chunk=TRI_CHUNK):
         self._m = m
+        self._tri_chunk = tri_chunk
         verts_l, vbody_l, faces_l, fcol_l = [], [], [], []
         voff = 0
         body_name_to_id = {n: i for i, n in enumerate(m.names_body)}
@@ -110,7 +116,7 @@ class Renderer:
         faces = np.concatenate(faces_l)
         fcol = np.concatenate(fcol_l)
         # pad triangle count to a chunk multiple with degenerate tris
-        pad = (-len(faces)) % TRI_CHUNK
+        pad = (-len(faces)) % self._tri_chunk
         if pad:
             faces = np.concatenate([faces, np.zeros((pad, 3), np.int32)])
             fcol = np.concatenate([fcol, np.zeros((pad, 3))])
@@ -182,13 +188,14 @@ class Renderer:
         gx = (jnp.arange(width, dtype=dtype) + 0.5)[None, :].repeat(height, 0).reshape(-1)
         gy = (jnp.arange(height, dtype=dtype) + 0.5)[:, None].repeat(width, 1).reshape(-1)
 
+        TC = self._tri_chunk
         F = self._faces.shape[0]
-        nchunks = F // TRI_CHUNK
+        nchunks = F // TC
 
         def chunk_body(ci, carry):
             zbuf, cbuf = carry
-            fidx = jax.lax.dynamic_slice_in_dim(self._faces, ci * TRI_CHUNK, TRI_CHUNK)
-            col = jax.lax.dynamic_slice_in_dim(self._fcol, ci * TRI_CHUNK, TRI_CHUNK)
+            fidx = jax.lax.dynamic_slice_in_dim(self._faces, ci * TC, TC)
+            col = jax.lax.dynamic_slice_in_dim(self._fcol, ci * TC, TC)
             ax, ay, az = px[fidx[:, 0]], py[fidx[:, 0]], cz[fidx[:, 0]]
             bx, by, bz = px[fidx[:, 1]], py[fidx[:, 1]], cz[fidx[:, 1]]
             qx, qy, qz = px[fidx[:, 2]], py[fidx[:, 2]], cz[fidx[:, 2]]
