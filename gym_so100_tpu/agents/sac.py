@@ -52,15 +52,47 @@ class MLP(nn.Module):
         return nn.Dense(self.out)(x)
 
 
+class NatureCNN(nn.Module):
+    """SB3 NatureCNN-style image encoder (the feature extractor behind the
+    reference's MultiInputPolicy on so100_pixels_agent_pos obs,
+    train_sac.py:313-316), sized for small training resolutions."""
+
+    out: int = 256
+
+    @nn.compact
+    def __call__(self, img):  # (..., H, W, 3) float in [0, 1]
+        x = nn.relu(nn.Conv(32, (8, 8), strides=(4, 4))(img))
+        x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2))(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1))(x))
+        x = x.reshape(*x.shape[:-3], -1)
+        return nn.relu(nn.Dense(self.out)(x))
+
+
+class Encoder(nn.Module):
+    """Obs front-end: identity for flat state obs; CNN ++ agent_pos for the
+    pixels dict (MultiInputPolicy-equivalent)."""
+
+    pixels: bool = False
+
+    @nn.compact
+    def __call__(self, obs):
+        if not self.pixels:
+            return obs
+        z = NatureCNN()(obs["pixels"])
+        return jnp.concatenate([z, obs["agent_pos"]], axis=-1)
+
+
 class Actor(nn.Module):
     act_dim: int
     features: tuple = (256, 256)
     log_std_min: float = -20.0
     log_std_max: float = 2.0
+    pixels: bool = False
 
     @nn.compact
     def __call__(self, obs):
-        h = MLP(self.features, 2 * self.act_dim)(obs)
+        x = Encoder(self.pixels)(obs)
+        h = MLP(self.features, 2 * self.act_dim)(x)
         mean, log_std = jnp.split(h, 2, axis=-1)
         log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
         return mean, log_std
@@ -68,10 +100,12 @@ class Actor(nn.Module):
 
 class Critic(nn.Module):
     features: tuple = (256, 256)
+    pixels: bool = False
 
     @nn.compact
     def __call__(self, obs, act):
-        x = jnp.concatenate([obs, act], axis=-1)
+        enc = Encoder(self.pixels)(obs)
+        x = jnp.concatenate([enc, act], axis=-1)
         q1 = MLP(self.features, 1)(x)
         q2 = MLP(self.features, 1)(x)
         return q1[..., 0], q2[..., 0]
@@ -134,24 +168,36 @@ _pytree(Normalizer)
 
 @dataclass(frozen=True)
 class ReplayBuffer:
-    """Fixed-capacity ring buffer of transitions as device arrays."""
+    """Fixed-capacity ring buffer of transitions as device arrays.
 
-    obs: jnp.ndarray
+    `obs`/`next_obs` are pytrees: a flat (cap, obs_dim) array for state obs,
+    or {"pixels": (cap, H, W, 3) uint8, "agent_pos": (cap, 6) f32} for the
+    pixel obs type (images stored uint8 — 50k transitions of 64x48 pixels is
+    ~0.5 GB HBM, vs 7.5 GB as f32)."""
+
+    obs: Any
     act: jnp.ndarray
     rew: jnp.ndarray
-    next_obs: jnp.ndarray
+    next_obs: Any
     done: jnp.ndarray          # terminal (not truncation)
     ptr: jnp.ndarray           # () int32
     size: jnp.ndarray          # () int32
 
     @staticmethod
-    def create(capacity, obs_dim, act_dim, dtype=jnp.float32):
+    def create(capacity, obs_spec, act_dim, dtype=jnp.float32):
+        """obs_spec: int (flat dim) or dict name -> (shape, dtype)."""
         z = jnp.zeros
+        if isinstance(obs_spec, int):
+            mk = lambda: z((capacity, obs_spec), dtype)
+        else:
+            mk = lambda: {
+                k: z((capacity, *sh), dt) for k, (sh, dt) in obs_spec.items()
+            }
         return ReplayBuffer(
-            obs=z((capacity, obs_dim), dtype),
+            obs=mk(),
             act=z((capacity, act_dim), dtype),
             rew=z((capacity,), dtype),
-            next_obs=z((capacity, obs_dim), dtype),
+            next_obs=mk(),
             done=z((capacity,), jnp.bool_),
             ptr=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
@@ -159,18 +205,19 @@ class ReplayBuffer:
 
     def add_batch(self, obs, act, rew, next_obs, done):
         """Insert a batch of B transitions at the ring pointer."""
-        cap = self.obs.shape[0]
-        B = obs.shape[0]
+        cap = self.act.shape[0]
+        B = act.shape[0]
         idx = (self.ptr + jnp.arange(B)) % cap
 
         def put(buf, val):
             return buf.at[idx].set(jnp.asarray(val, buf.dtype))
 
+        tput = lambda buf, val: jax.tree_util.tree_map(put, buf, val)
         return ReplayBuffer(
-            obs=put(self.obs, obs),
+            obs=tput(self.obs, obs),
             act=put(self.act, act),
             rew=put(self.rew, rew),
-            next_obs=put(self.next_obs, next_obs),
+            next_obs=tput(self.next_obs, next_obs),
             done=put(self.done, done),
             ptr=(self.ptr + B) % cap,
             size=jnp.minimum(self.size + B, cap),
@@ -178,9 +225,10 @@ class ReplayBuffer:
 
     def sample(self, key, batch_size):
         idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(self.size, 1))
+        take = lambda tree: jax.tree_util.tree_map(lambda a: a[idx], tree)
         return dict(
-            obs=self.obs[idx], act=self.act[idx], rew=self.rew[idx],
-            next_obs=self.next_obs[idx], done=self.done[idx],
+            obs=take(self.obs), act=self.act[idx], rew=self.rew[idx],
+            next_obs=take(self.next_obs), done=self.done[idx],
         )
 
 
@@ -189,7 +237,7 @@ _pytree(ReplayBuffer)
 
 @dataclass(frozen=True)
 class SACConfig:
-    obs_dim: int = 15
+    obs_dim: int = 15                # agent_pos dim when pixels is set
     act_dim: int = 6
     lr: float = 1e-4                 # train_sac.py:318
     buffer_size: int = 50_000        # train_sac.py:319
@@ -198,6 +246,9 @@ class SACConfig:
     tau: float = 0.005
     target_entropy: float = -2.0     # train_sac.py:331
     features: tuple = (256, 256)
+    # (H, W) for the pixels_agent_pos obs type (MultiInputPolicy-equivalent
+    # CNN + state encoder); empty tuple = flat state obs
+    pixels: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -229,8 +280,9 @@ class SAC:
 
     def __init__(self, cfg: SACConfig):
         self.cfg = cfg
-        self.actor = Actor(cfg.act_dim, cfg.features)
-        self.critic = Critic(cfg.features)
+        pix = bool(cfg.pixels)
+        self.actor = Actor(cfg.act_dim, cfg.features, pixels=pix)
+        self.critic = Critic(cfg.features, pixels=pix)
         # base lr baked in; the runtime-varying stage multiplier (SACState.
         # lr_scale) is applied to the update pytree, keeping opt-state shapes
         # independent of the schedule
@@ -238,10 +290,31 @@ class SAC:
         self.critic_tx = optax.adam(cfg.lr)
         self.alpha_tx = optax.adam(cfg.lr)
 
+    def obs_spec(self):
+        """Replay-buffer obs spec (see ReplayBuffer.create)."""
+        cfg = self.cfg
+        if not cfg.pixels:
+            return cfg.obs_dim
+        h, w = cfg.pixels
+        return {
+            "pixels": ((h, w, 3), jnp.uint8),
+            "agent_pos": ((cfg.obs_dim,), jnp.float32),
+        }
+
+    def _zero_obs(self, n=1):
+        cfg = self.cfg
+        if not cfg.pixels:
+            return jnp.zeros((n, cfg.obs_dim))
+        h, w = cfg.pixels
+        return {
+            "pixels": jnp.zeros((n, h, w, 3), jnp.float32),
+            "agent_pos": jnp.zeros((n, cfg.obs_dim)),
+        }
+
     def init(self, key) -> SACState:
         cfg = self.cfg
         k1, k2, k3 = jax.random.split(key, 3)
-        obs0 = jnp.zeros((1, cfg.obs_dim))
+        obs0 = self._zero_obs()
         act0 = jnp.zeros((1, cfg.act_dim))
         actor_params = self.actor.init(k1, obs0)
         critic_params = self.critic.init(k2, obs0, act0)
@@ -253,7 +326,9 @@ class SAC:
             actor_opt=self.actor_tx.init(actor_params),
             critic_opt=self.critic_tx.init(critic_params),
             alpha_opt=self.alpha_tx.init(jnp.zeros(())),
-            buffer=ReplayBuffer.create(cfg.buffer_size, cfg.obs_dim, cfg.act_dim),
+            buffer=ReplayBuffer.create(
+                cfg.buffer_size, self.obs_spec(), cfg.act_dim
+            ),
             normalizer=Normalizer.create(cfg.obs_dim),
             key=k3,
             step=jnp.zeros((), jnp.int32),
@@ -261,10 +336,22 @@ class SAC:
             lr_scale=jnp.ones((), jnp.float32),
         )
 
+    def _norm_obs(self, normalizer, obs):
+        """Normalize: running mean/var on the state part (VecNormalize
+        equivalent); pixels scaled to [0, 1]."""
+        if not self.cfg.pixels:
+            return normalizer.norm(obs)
+        return {
+            "pixels": obs["pixels"].astype(jnp.float32) / 255.0,
+            "agent_pos": normalizer.norm(
+                obs["agent_pos"].astype(jnp.float32)
+            ),
+        }
+
     # -- acting --------------------------------------------------------------
 
     def act(self, st: SACState, obs, key, deterministic=False):
-        nobs = st.normalizer.norm(obs)
+        nobs = self._norm_obs(st.normalizer, obs)
         if deterministic:
             return det_action(st.actor_params, self.actor, nobs)
         return sample_action(st.actor_params, self.actor, nobs, key)[0]
@@ -274,8 +361,8 @@ class SAC:
     def update(self, st: SACState, batch) -> tuple[SACState, dict]:
         cfg = self.cfg
         key, k1, k2 = jax.random.split(st.key, 3)
-        nobs = st.normalizer.norm(batch["obs"])
-        nnext = st.normalizer.norm(batch["next_obs"])
+        nobs = self._norm_obs(st.normalizer, batch["obs"])
+        nnext = self._norm_obs(st.normalizer, batch["next_obs"])
         alpha = jnp.exp(st.log_alpha)
 
         # critic target
@@ -349,7 +436,9 @@ class SAC:
     def train_step(self, st: SACState, obs, act, rew, next_obs, done):
         """Ingest a batch of env transitions and do one gradient update."""
         buffer = st.buffer.add_batch(obs, act, rew, next_obs, done)
-        normalizer = st.normalizer.update(obs)
+        normalizer = st.normalizer.update(
+            obs["agent_pos"] if self.cfg.pixels else obs
+        )
         st = dataclasses.replace(st, buffer=buffer, normalizer=normalizer)
         key, sub = jax.random.split(st.key)
         batch = st.buffer.sample(sub, self.cfg.batch_size)

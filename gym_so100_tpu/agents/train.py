@@ -35,6 +35,18 @@ class TrainConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 5_000
     hull_contacts: bool = False
+    # obs type: "state" (flat 15-dim) or "pixels_agent_pos" (the reference
+    # flagship trainer's obs, train_sac.py:294-337) at obs_height x obs_width
+    obs: str = "state"
+    obs_height: int = 48
+    obs_width: int = 64
+    render_aux: object = None       # aux dict from build_model (pixels mode)
+    # periodic in-training evaluation (the reference's
+    # EvaluationVideoCallback, train_sac.py:22-157: deterministic rollouts,
+    # mp4 of the first episode, best-model checkpoint)
+    eval_every: int = 0             # env steps between evals; 0 = off
+    eval_episodes: int = 8
+    video_dir: str | None = None    # write eval_<step>.mp4 here
     # stage curriculum: tuple of (end_steps, target_entropy, lr) applied when
     # total env steps < end_steps * num_envs, mirroring the reference's
     # StageBasedTraining boundaries (train_sac.py:429-482).  Empty = constant
@@ -51,12 +63,28 @@ REFERENCE_STAGES = (
 
 
 class Trainer:
-    def __init__(self, model, tcfg: TrainConfig, sac_cfg: SACConfig | None = None):
+    """SAC trainer; pass `mesh` to run envs + learner SPMD over a device
+    mesh (env batch sharded on the "env" axis, learner replicated; the XLA
+    partitioner inserts the gradient psums — SURVEY §2.4 item 2)."""
+
+    def __init__(
+        self, model, tcfg: TrainConfig, sac_cfg: SACConfig | None = None,
+        mesh=None,
+    ):
         self.tcfg = tcfg
+        self.mesh = mesh
+        pixels = tcfg.obs == "pixels_agent_pos"
         self.env = BatchedEnv(
-            model, tcfg.task, tcfg.num_envs, hull_contacts=tcfg.hull_contacts
+            model, tcfg.task, tcfg.num_envs, hull_contacts=tcfg.hull_contacts,
+            obs_mode=tcfg.obs, obs_height=tcfg.obs_height,
+            obs_width=tcfg.obs_width, render_aux=tcfg.render_aux,
         )
-        self.sac = SAC(sac_cfg or SACConfig())
+        if sac_cfg is None:
+            sac_cfg = (
+                SACConfig(obs_dim=6, pixels=(tcfg.obs_height, tcfg.obs_width))
+                if pixels else SACConfig()
+            )
+        self.sac = SAC(sac_cfg)
         self._rollout = jax.jit(self._rollout_impl)
         self._rollout_warm = jax.jit(self._rollout_warmup_impl)
 
@@ -70,7 +98,9 @@ class Trainer:
         st = dataclasses.replace(st, key=key)
         # boundary transitions bootstrap from the episode's true terminal obs
         buffer = st.buffer.add_batch(obs, acts, rew, info["final_obs"], term)
-        normalizer = st.normalizer.update(obs)
+        normalizer = st.normalizer.update(
+            obs["agent_pos"] if self.sac.cfg.pixels else obs
+        )
         st = dataclasses.replace(st, buffer=buffer, normalizer=normalizer)
         return st, es2, next_obs, rew
 
@@ -112,6 +142,11 @@ class Trainer:
             jax.random.PRNGKey(seed)
         )
         es = self.env.reset(jax.random.PRNGKey(seed + 1))
+        if self.mesh is not None:
+            from ..parallel import dist
+
+            st = dist.replicate(st, self.mesh)
+            es = dist.shard_env(es, self.mesh)
         # initial obs from a fresh position pass
         obs = self._initial_obs(es)
         steps = int(st.step)  # resumes continue the step count
@@ -142,11 +177,90 @@ class Trainer:
                 and steps % max(1, t.checkpoint_every // t.num_envs) == 0
             ):
                 self.save(st, t.checkpoint_dir, steps * t.num_envs)
+            if t.eval_every and steps % max(1, t.eval_every // t.num_envs) == 0:
+                self._run_eval(st, steps * t.num_envs, progress)
         return st
 
+    def evaluate(self, st: SACState, seed=0):
+        """Deterministic-policy evaluation on a fresh env batch (the
+        reference's EvaluationVideoCallback rollout, train_sac.py:60-105,
+        batched on-device instead of a single DummyVecEnv).  Returns
+        (mean_return, success_rate, frames) — frames only when
+        tcfg.video_dir is set (first env lane, top camera)."""
+        t = self.tcfg
+        env = self.env
+        es = env.reset(jax.random.PRNGKey(seed + 12345))
+        obs = self._initial_obs(es)
+        act_fn = jax.jit(
+            lambda st, obs: self.sac.act(
+                st, obs, jax.random.PRNGKey(0), deterministic=True
+            )
+        )
+        B = t.num_envs
+        returns = np.zeros(B)
+        finished = np.zeros(B, bool)
+        success = np.zeros(B, bool)
+        frames = []
+        renderer = env._renderer
+        if t.video_dir and renderer is None and t.render_aux is not None:
+            from ..render.rasterizer import Renderer
+
+            renderer = self._eval_renderer = getattr(
+                self, "_eval_renderer", Renderer(self.env.m, t.render_aux)
+            )
+        for _ in range(env.max_episode_steps):
+            acts = act_fn(st, obs)
+            es, obs, rew, term, trunc, info = env.step(es, acts)
+            done = np.asarray(term | trunc)
+            returns += np.asarray(rew) * ~finished
+            success |= np.asarray(term) & ~finished
+            if t.video_dir and renderer is not None and not finished[0]:
+                s0 = jax.tree_util.tree_map(lambda a: a[0], es.physics)
+                frames.append(np.asarray(renderer.render(s0, 240, 320, "top")))
+            finished |= done
+            if finished.all():
+                break
+        k = max(1, min(t.eval_episodes, B))
+        return float(returns[:k].mean()), float(success[:k].mean()), frames
+
+    def _run_eval(self, st, env_steps, progress):
+        mean_ret, succ_rate, frames = self.evaluate(st)
+        progress({
+            "eval_at": env_steps,
+            "eval_mean_return": round(mean_ret, 3),
+            "eval_success_rate": round(succ_rate, 3),
+        })
+        t = self.tcfg
+        if t.video_dir and frames:
+            import imageio
+
+            os.makedirs(t.video_dir, exist_ok=True)
+            path = os.path.join(t.video_dir, f"eval_{env_steps}.mp4")
+            imageio.mimsave(path, np.stack(frames), fps=50)
+        if mean_ret > getattr(self, "_best_eval", -np.inf):
+            self._best_eval = mean_ret
+            if t.checkpoint_dir:
+                best = os.path.join(t.checkpoint_dir, "best")
+                self.save(st, best, env_steps)
+        return mean_ret
+
     def _initial_obs(self, es):
+        env = self.env
+
         @jax.jit
         def f(es):
+            if env._renderer is not None:
+                pix = jax.vmap(
+                    lambda s1: env._renderer._render_impl(
+                        s1, env.obs_height, env.obs_width,
+                        env._renderer._cam["top"],
+                    )
+                )(es.physics)
+                return {
+                    "pixels": pix,
+                    "agent_pos": es.physics.qpos[:, :6].astype(jnp.float32),
+                }
+
             def one(e):
                 d = core.fwd.position_stage(self.env.m, e.physics)
                 o = core.observations(self.env.m, d, e.physics, self.env.ids)

@@ -42,15 +42,30 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hull-contacts", action="store_true")
     p.add_argument(
+        "--obs", default="state", choices=["state", "pixels_agent_pos"],
+        help="pixels_agent_pos trains the MultiInputPolicy-equivalent "
+        "CNN+state SAC on on-device renders (ref train_sac.py:294-337)",
+    )
+    p.add_argument("--obs-height", type=int, default=48)
+    p.add_argument("--obs-width", type=int, default=64)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="env steps between deterministic evals (0 = off)")
+    p.add_argument("--eval-episodes", type=int, default=8)
+    p.add_argument("--video-dir", default=None,
+                   help="write eval_<step>.mp4 here during evals")
+    p.add_argument(
         "--stages", action="store_true",
         help="use the reference's 3-stage entropy/LR curriculum "
         "(train_sac.py:429-482)",
     )
     args = p.parse_args()
 
-    m, _ = _cached_model(ASSETS_XML, "float32")
+    m, aux = _cached_model(ASSETS_XML, "float32")
+    pixels = args.obs == "pixels_agent_pos"
     sac_cfg = SACConfig(
-        lr=args.lr, buffer_size=args.buffer_size, batch_size=args.batch_size
+        lr=args.lr, buffer_size=args.buffer_size, batch_size=args.batch_size,
+        obs_dim=6 if pixels else 15,
+        pixels=(args.obs_height, args.obs_width) if pixels else (),
     )
     if args.resume:
         # rebuild from the saved sidecar so restored pytree shapes match
@@ -68,6 +83,13 @@ def main():
             checkpoint_every=args.checkpoint_every,
             hull_contacts=args.hull_contacts,
             stages=REFERENCE_STAGES if args.stages else (),
+            obs=args.obs,
+            obs_height=args.obs_height,
+            obs_width=args.obs_width,
+            render_aux=aux if (pixels or args.video_dir) else None,
+            eval_every=args.eval_every,
+            eval_episodes=args.eval_episodes,
+            video_dir=args.video_dir,
         ),
         sac_cfg,
     )
