@@ -105,7 +105,7 @@ def rollout_policy(policy, env, episodes=1, lerobot_units=True, task_text=None,
     _require_lerobot()
     import torch
 
-    frames, returns = [], []
+    frames, returns, successes = [], [], []
     for ep in range(episodes):
         obs, info = env.reset(seed=ep)
         total = 0.0
@@ -132,8 +132,9 @@ def rollout_policy(policy, env, episodes=1, lerobot_units=True, task_text=None,
             if video_path and ep == 0:
                 frames.append(np.asarray(env.render()))
         returns.append(total)
+        successes.append(bool(info.get("is_success", False)))
     if video_path and frames:
         import imageio
 
         imageio.mimsave(video_path, np.stack(frames), fps=50)
-    return returns
+    return {"returns": returns, "successes": successes}
