@@ -18,6 +18,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the batched lanes step lowers to a large XLA
+# program (~2-4 min cold compile); cache it across bench invocations
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gym_so100_tpu.models.builder import build_model  # noqa: E402
