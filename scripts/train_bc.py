@@ -28,19 +28,34 @@ from gym_so100_tpu.agents.train import TrainConfig, Trainer  # noqa: E402
 from gym_so100_tpu.envs.gym_env import ASSETS_XML, _cached_model  # noqa: E402
 
 
-def evaluate(actor, params, episodes, task, video=None):
+def evaluate(actor, params, episodes, task, video=None, pixels=None):
     """Deterministic rollouts with the BC policy; mirrors the reference's
-    eval + video loop (train_bc.py:356-452)."""
-    env = gym.make(
-        f"gym_so100_tpu/{task}", obs_type="so100_state", dtype=jnp.float32
-    )
+    eval + video loop (train_bc.py:356-452).  `pixels`: (H, W) to evaluate
+    the pixels-dict policy on the pixel obs type."""
+    if pixels:
+        env = gym.make(
+            f"gym_so100_tpu/{task}", obs_type="so100_pixels_agent_pos",
+            observation_height=pixels[0], observation_width=pixels[1],
+            dtype=jnp.float32,
+        )
+
+        def _prep(o):
+            return {
+                "pixels": jnp.asarray(o["pixels"], jnp.float32) / 255.0,
+                "agent_pos": jnp.asarray(o["agent_pos"], jnp.float32),
+            }
+    else:
+        env = gym.make(
+            f"gym_so100_tpu/{task}", obs_type="so100_state", dtype=jnp.float32
+        )
+        _prep = jnp.asarray
     act_fn = jax.jit(lambda o: jnp.tanh(actor.apply(params, o)[0]))
     rets, succ, frames = [], 0, []
     for ep in range(episodes):
         obs, info = env.reset(seed=ep)
         total = 0.0
         while True:
-            a = np.asarray(act_fn(jnp.asarray(obs)))
+            a = np.asarray(act_fn(_prep(obs)))
             obs, r, term, trunc, info = env.step(a)
             total += float(r)
             if video and ep == 0:
@@ -78,10 +93,18 @@ def main():
     )
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--pixels", action="store_true",
+        help="train on the pixels dict obs through the NatureCNN encoder "
+        "(the reference's MultiInputActorCriticPolicy BC, train_bc.py:159-279)",
+    )
+    p.add_argument("--obs-height", type=int, default=48)
+    p.add_argument("--obs-width", type=int, default=64)
     args = p.parse_args()
 
-    obs, act = bc.load_demo_transitions(args.demos)
-    print(f"loaded {len(obs)} transitions from {len(args.demos)} file(s)")
+    obs, act = bc.load_demo_transitions(args.demos, pixels=args.pixels)
+    n = act.shape[0]
+    print(f"loaded {n} transitions from {len(args.demos)} file(s)")
     actor, params = bc.train_bc(
         obs, act, epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         seed=args.seed,
@@ -89,10 +112,13 @@ def main():
     )
 
     if args.eval_episodes:
+        hw = None
+        if args.pixels:
+            hw = tuple(obs["pixels"].shape[1:3])
         evaluate(actor, params, args.eval_episodes,
                  {"SO100CubeToBin-v0": "SO100CubeToBin-v0"}.get(
                      args.task, args.task),
-                 video=args.video)
+                 video=args.video, pixels=hw)
 
     if args.finetune_steps or args.checkpoint_dir:
         task_key = {
@@ -100,16 +126,25 @@ def main():
             "SO100TouchCubeSparse-v0": "so100_touch_cube_sparse",
             "SO100CubeToBin-v0": "so100_cube_to_bin",
         }.get(args.task, "so100_cube_to_bin")
-        m, _ = _cached_model(ASSETS_XML, "float32")
-        trainer = Trainer(
-            m,
-            TrainConfig(
+        m, aux = _cached_model(ASSETS_XML, "float32")
+        if args.pixels:
+            hw = tuple(obs["pixels"].shape[1:3])
+            tcfg = TrainConfig(
                 task=task_key, num_envs=args.num_envs,
                 total_steps=args.finetune_steps,
                 checkpoint_dir=args.checkpoint_dir,
-            ),
-            SACConfig(obs_dim=obs.shape[-1]),
-        )
+                obs="pixels_agent_pos", obs_height=hw[0], obs_width=hw[1],
+                render_aux=aux,
+            )
+            scfg = SACConfig(obs_dim=obs["agent_pos"].shape[-1], pixels=hw)
+        else:
+            tcfg = TrainConfig(
+                task=task_key, num_envs=args.num_envs,
+                total_steps=args.finetune_steps,
+                checkpoint_dir=args.checkpoint_dir,
+            )
+            scfg = SACConfig(obs_dim=obs.shape[-1])
+        trainer = Trainer(m, tcfg, scfg)
         st = trainer.sac.init(jax.random.PRNGKey(args.seed))
         st = bc.transfer_to_sac(trainer.sac, st, params)
         if args.finetune_steps:

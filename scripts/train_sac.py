@@ -58,6 +58,11 @@ def main():
         help="use the reference's 3-stage entropy/LR curriculum "
         "(train_sac.py:429-482)",
     )
+    p.add_argument(
+        "--tensorboard-dir", default=None,
+        help="write TensorBoard scalars here in addition to stdout JSON "
+        "(the reference logs to ['tensorboard', 'stdout'], train_sac.py:323)",
+    )
     args = p.parse_args()
 
     m, aux = _cached_model(ASSETS_XML, "float32")
@@ -97,11 +102,13 @@ def main():
     if args.resume:
         init_state = trainer.restore(args.resume)
         print(f"resumed from {args.resume} at step {int(init_state.step)}")
-    trainer.train(
-        seed=args.seed,
-        progress=lambda l: print(json.dumps(l), flush=True),
-        init_state=init_state,
-    )
+    from gym_so100_tpu.agents.metrics import MetricLogger  # noqa: E402
+
+    logger = MetricLogger(args.tensorboard_dir)
+    try:
+        trainer.train(seed=args.seed, progress=logger, init_state=init_state)
+    finally:
+        logger.close()
 
 
 if __name__ == "__main__":

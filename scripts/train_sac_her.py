@@ -40,6 +40,12 @@ def main():
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hull-contacts", action="store_true")
+    p.add_argument(
+        "--tensorboard-dir", default=None,
+        help="write TensorBoard scalars in addition to stdout JSON "
+        "(the reference logs to ['tensorboard', 'stdout'], "
+        "train_sac_her.py:234)",
+    )
     args = p.parse_args()
 
     m, _ = _cached_model(ASSETS_XML, "float32")
@@ -65,9 +71,12 @@ def main():
     if args.resume:
         init_state = trainer.restore(args.resume)
         print(f"resumed from {args.resume}")
+    from gym_so100_tpu.agents.metrics import MetricLogger
+
+    logger = MetricLogger(args.tensorboard_dir)
     trainer.train(
         seed=args.seed,
-        progress=lambda l: print(json.dumps(l), flush=True),
+        progress=logger,
         init_state=init_state,
     )
 

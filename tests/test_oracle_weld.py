@@ -68,7 +68,12 @@ def test_weld_slow_drag_tracks_target():
     """Drag the target slowly from the ee pose; the arm must follow (implicit
     IK through the weld).  Behavioral, not bitwise: the mocap handle box
     collides with the gripper meshes by scene design (49 contacts at reset),
-    so lockstep parity is not defined for this motion."""
+    so lockstep parity is not defined for this motion.  The acceptance bar is
+    oracle-anchored: MuJoCo itself, stepped through the IDENTICAL drag
+    schedule, lags ~0.036 m behind the 4 cm drag (the soft weld solimp
+    0.9/0.95 loses to gravity + handle-box contact friction; measured in
+    devtools/probe_weld_drag.py) — so we require the JAX arm to track the
+    target at least as closely as the oracle, within 5 mm."""
     mjm, mjd, m = _setup()
     ee_id = m.site_id("ee_site")
     mj_ee = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_SITE, "ee_site")
@@ -76,17 +81,23 @@ def test_weld_slow_drag_tracks_target():
     q = np.zeros(4)
     mujoco.mju_mat2Quat(q, mjd.site_xmat[mj_ee])
     mjd.mocap_quat[0] = q
+    start_z = float(mjd.site_xpos[mj_ee][2])
     s = _state(m, mjd)
     step = jax.jit(lambda s: fwd.step(m, s)[0])
     kin = jax.jit(lambda s: fwd.smooth.kinematics(m, s).site_xpos[ee_id])
     mp = np.array(mjd.mocap_pos)
     for i in range(200):
         mp[0][2] += 2e-4
+        mjd.mocap_pos[0] = mp[0]
+        mujoco.mj_step(mjm, mjd)
         s = s.replace(mocap_pos=jnp.asarray(mp))
         s = step(s)
+    mujoco.mj_forward(mjm, mjd)
     ee_pos = np.asarray(kin(s))
     assert np.all(np.isfinite(np.asarray(s.qpos)))
-    # the soft weld (solimp 0.9/0.95) lags under gravity + handle-box contact
-    # friction; require that it followed most of the 4 cm drag
-    assert float(ee_pos[2]) > 0.13, ee_pos
-    assert abs(float(ee_pos[2]) - mp[0][2]) < 0.025, (ee_pos, mp)
+    mj_lag = float(mp[0][2]) - float(mjd.site_xpos[mj_ee][2])
+    jax_lag = float(mp[0][2]) - float(ee_pos[2])
+    # the arm moved upward (followed the drag at all)
+    assert float(ee_pos[2]) > start_z + 0.005, (ee_pos, start_z)
+    # and tracks no worse than the oracle does (+5 mm slack)
+    assert jax_lag < mj_lag + 0.005, (jax_lag, mj_lag)

@@ -18,6 +18,51 @@ from gym_so100_tpu.envs.gym_env import ASSETS_XML
 from gym_so100_tpu.models.builder import build_model
 
 
+def test_pixels_bc_fit_and_transfer():
+    """BC on the pixels dict obs (reference train_bc.py:159-353): fits a few
+    synthetic pixel transitions through the NatureCNN encoder and transfers
+    the weights into the pixels SAC actor parameter-for-parameter."""
+    from gym_so100_tpu.agents import bc
+    from gym_so100_tpu.agents.sac import SAC
+
+    H, W, N = 24, 32, 32
+    rng = np.random.RandomState(0)
+    obs = {
+        "pixels": rng.randint(0, 255, (N, H, W, 3), dtype=np.uint8),
+        "agent_pos": rng.randn(N, 6).astype(np.float32),
+    }
+    act = np.tanh(rng.randn(N, 6)).astype(np.float32)
+    losses = []
+    actor, params = bc.train_bc(
+        obs, act, epochs=8, batch_size=16, seed=0,
+        progress=lambda l: losses.append(l["bc_loss"]),
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # it learns
+
+    sac = SAC(SACConfig(obs_dim=6, pixels=(H, W), buffer_size=16, batch_size=4))
+    st = sac.init(jax.random.PRNGKey(0))
+    st2 = bc.transfer_to_sac(sac, st, params)
+    # transferred actor acts on env-style dict obs, in bounds
+    a = sac.act(
+        st2,
+        {
+            "pixels": jnp.asarray(obs["pixels"][:3]),
+            "agent_pos": jnp.asarray(obs["agent_pos"][:3]),
+        },
+        jax.random.PRNGKey(1),
+    )
+    assert a.shape == (3, 6) and np.all(np.abs(np.asarray(a)) <= 1.0)
+    # mismatched architectures are rejected, not silently mis-assigned
+    sac_flat = SAC(SACConfig(obs_dim=15))
+    st_flat = sac_flat.init(jax.random.PRNGKey(0))
+    try:
+        bc.transfer_to_sac(sac_flat, st_flat, params)
+        assert False, "expected ValueError on architecture mismatch"
+    except ValueError:
+        pass
+
+
 def test_pixels_sac_end_to_end():
     m, aux = build_model(ASSETS_XML, max_contacts=24)
     m = m.astype(jnp.float32)

@@ -84,7 +84,7 @@ def test_her_future_relabeling():
 def test_trainer_smoke():
     """Few env-batch steps of the full rollout+update path on CPU."""
     from gym_so100_tpu.agents.train import TrainConfig, Trainer
-    from gym_so100_tpu.envs.gym_env import _cached_model
+    from gym_so100_tpu.envs.gym_env import ASSETS_XML, _cached_model
 
     m, _ = _cached_model(
         ASSETS_XML, "float32"
