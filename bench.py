@@ -29,9 +29,9 @@ from gym_so100_tpu.models.builder import build_model  # noqa: E402
 from gym_so100_tpu.parallel.batch import BatchedEnv  # noqa: E402
 
 XML = os.path.join(os.path.dirname(os.path.abspath(__file__)), "gym_so100_tpu", "assets", "so100_transfer_cube.xml")
-B = int(os.environ.get("BENCH_NUM_ENVS", 1024))
+B = int(os.environ.get("BENCH_NUM_ENVS", 4096))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
-HULLS = os.environ.get("BENCH_HULL_CONTACTS", "0") == "1"
+HULLS = os.environ.get("BENCH_HULL_CONTACTS", "1") == "1"
 
 
 def main():

@@ -169,6 +169,32 @@ class SO100Env(gym.Env):
             ]
         )
 
+    def raw_observation(self):
+        """The task layer's full raw obs dict (single_arm.py:82-113): qpos(6),
+        qvel(6), env_state, THREE camera renders ("top", "angle",
+        "front_close") at obs resolution, plus box/bin/ee positions.  The
+        formatted Gym obs only consumes the top camera (env.py:130-146); this
+        accessor covers consumers of the raw dict beyond the SO100Env
+        contract (e.g. multi-view demo recording)."""
+        if self._es is None:
+            raise RuntimeError("call reset() first")
+        s = self._es.physics
+        d = core.fwd.position_stage(self._m, s)
+        obs = core.observations(self._m, d, s, self._ids)
+        r = self._get_renderer()
+        images = {
+            cam: np.asarray(
+                r.render(
+                    s, height=self.observation_height,
+                    width=self.observation_width, camera=cam,
+                )
+            )
+            for cam in ("top", "angle", "front_close")
+        }
+        out = {k: np.asarray(v) for k, v in obs.items()}
+        out["images"] = images
+        return out
+
     # -- gym API ------------------------------------------------------------
 
     def reset(self, seed=None, options=None):

@@ -10,7 +10,7 @@ engine consumes:
   box — treating it analytically makes cube/table contact a box-box pair);
 * actuator kv from dampratio: kv = 2 * dampratio * sqrt(kp * M_ii(qpos0))
   with M the joint-space inertia matrix including armature (verified against
-  MuJoCo 3.10 compiled biasprm in tests/test_model_parity.py);
+  MuJoCo 3.10 compiled biasprm in tests/test_oracle_smooth.py);
 * dof/body invweight0 at qpos0 (constraint regularization weights);
 * the static collision-pair table with MuJoCo's filtering semantics
   (contype/conaffinity, weld equivalence, parent-child filtering with the

@@ -20,7 +20,7 @@ step -> mj_step -> mj_collision), but engineered for the TPU memory system:
   expressed as masked adds over statically-unrolled slots.
 
 Numerical behavior matches `boxbox.box_box` to roundoff (different op
-order); `tests/test_boxbox_lanes.py` asserts agreement on random pose
+order); `tests/test_lanes.py` asserts agreement on random pose
 batches against the vmapped reference implementation.
 """
 

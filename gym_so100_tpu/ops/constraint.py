@@ -7,7 +7,8 @@ as a static-shape pure function.  Row layout is fixed at trace time:
 
 Every slot always exists; inactive rows are masked (D = 0).  The numeric
 conventions were validated row-by-row against mjData.efc_* of MuJoCo 3.10 on
-the reference scene (tests/test_oracle_constraint.py):
+the reference scene (tests/test_oracle_weld.py pins efc_pos/efc_D/efc_J rows
+bitwise; tests/test_oracle_contact.py pins solved trajectories through them):
 
 * impedance: sigmoid interpolation of solimp=(d0,dwidth,width,mid,power),
   clamped to [0.0001, 0.9999];

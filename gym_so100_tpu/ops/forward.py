@@ -10,6 +10,8 @@ timestep; cf. env.py:120-127).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -120,11 +122,17 @@ def step_batched(m: Model, s: State) -> tuple[State, Data]:
 
 
 def n_steps_batched(m: Model, s: State, n: int) -> State:
+    # GST_SUBSTEP_UNROLL unrolls the substep scan (measured at B=4096
+    # hulls-on: NO throughput change vs the while-loop form — the hot cost
+    # is serialized small-table gathers inside the body, not loop-carry
+    # staging — but compile time grows ~3x, so the scan stays the default).
+    unroll = int(os.environ.get("GST_SUBSTEP_UNROLL", "1"))
+
     def body(s, _):
         s2, _ = step_batched(m, s)
         return s2, None
 
-    s_final, _ = jax.lax.scan(body, s, None, length=n)
+    s_final, _ = jax.lax.scan(body, s, None, length=n, unroll=min(unroll, n))
     return s_final
 
 

@@ -15,7 +15,9 @@ control step at B=4096.  In lanes form the Jacobian is a list of nv
 row axis only, no tile-sparse minor-dim slicing.
 
 Consumes constraint_lanes.EfcLanes; numerics match vmap(solver.solve) to
-roundoff (tests/test_solver_lanes.py)."""
+roundoff (tests/test_efc_lanes.py::test_step_batched_still_consistent_with_vmap_step
+and tests/test_lanes.py::test_step_batched_matches_vmap pin the full batched
+step, this solver included, against the vmapped AoS pipeline)."""
 
 from __future__ import annotations
 

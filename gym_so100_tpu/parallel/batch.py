@@ -119,21 +119,29 @@ class BatchedEnv:
             fresh, es2,
         )
         if self._renderer is not None:
-            # pixels obs: render the post-autoreset state once (boundary
-            # lanes see the fresh episode's first frame).  final_obs shares
-            # the dict — terminated boundaries never bootstrap from it, so
-            # only truncation boundaries carry this 1/episode approximation.
-            pix = jax.vmap(
-                lambda s1: self._renderer._render_impl(
-                    s1, self.obs_height, self.obs_width, self._renderer._cam["top"]
-                )
-            )(es3.physics)
+            # pixels obs: two renders per step — the TRUE terminal frame of
+            # the pre-autoreset state (for info["final_obs"], so truncated
+            # episodes bootstrap from the frame they actually ended in) and
+            # the post-autoreset frame (the returned obs at done lanes is
+            # the fresh episode's first observation, Gymnasium convention).
+            def render(ph):
+                return jax.vmap(
+                    lambda s1: self._renderer._render_impl(
+                        s1, self.obs_height, self.obs_width,
+                        self._renderer._cam["top"],
+                    )
+                )(ph)
+
+            final_obs = {
+                "pixels": render(es2.physics),
+                "agent_pos": es2.physics.qpos[:, :6].astype(jnp.float32),
+            }
             obs_out = {
-                "pixels": pix,
+                "pixels": render(es3.physics),
                 "agent_pos": es3.physics.qpos[:, :6].astype(jnp.float32),
             }
             return es3, obs_out, reward, terminated, truncated, {
-                "final_obs": obs_out
+                "final_obs": final_obs
             }
 
         final_obs = self._obs_vector(obs)

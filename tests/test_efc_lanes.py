@@ -4,6 +4,11 @@ make_efc_batched recomputes the same Efc in batch-last lanes form; every
 row array must match the vmapped AoS reference to roundoff on a settled
 (in-contact) batch of states."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import functools
 
 import jax

@@ -7,6 +7,11 @@ nonzero success (relabeled goals are by construction reachable), and the
 critic actually trains.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import numpy as np
 
 import jax

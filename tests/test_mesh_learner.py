@@ -6,6 +6,11 @@ partitioner).  These tests assert the sharded program computes the same
 updates as the unsharded one on the virtual 8-device CPU mesh.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import numpy as np
 
 import jax

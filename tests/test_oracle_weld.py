@@ -5,6 +5,11 @@ The EE scenes (so100_transfer_cube_ee.xml) drive the arm by welding the
 These tests pin the site-weld rows (translation + quaternion-derivative
 rotation rows) and the resulting dynamics to the oracle."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import mujoco
 import numpy as np
 

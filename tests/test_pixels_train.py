@@ -7,6 +7,11 @@ the CNN+state SAC consumes {"pixels", "agent_pos"} dicts, and the replay
 buffer stores uint8 frames.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import numpy as np
 
 import jax
@@ -61,6 +66,37 @@ def test_pixels_bc_fit_and_transfer():
         assert False, "expected ValueError on architecture mismatch"
     except ValueError:
         pass
+
+
+def test_pixels_final_obs_is_terminal_frame_at_truncation():
+    """At a truncation boundary the returned obs is the FRESH episode's first
+    frame while info["final_obs"] carries the true terminal frame — they must
+    differ (the pre-fix code put the post-autoreset frame in final_obs, so
+    truncated episodes bootstrapped from the next episode's reset state)."""
+    from gym_so100_tpu.parallel.batch import BatchedEnv
+
+    m, aux = build_model(ASSETS_XML, max_contacts=24)
+    m = m.astype(jnp.float32)
+    env = BatchedEnv(
+        m, "so100_touch_cube", num_envs=2, max_episode_steps=2,
+        obs_mode="pixels_agent_pos", obs_height=24, obs_width=32,
+        render_aux=aux,
+    )
+    es = env.reset(jax.random.PRNGKey(0))
+    acts = jnp.full((2, 6), 0.3, jnp.float32)  # move the arm so frames differ
+    es, obs, rew, term, trunc, info = env.step(es, acts)
+    es, obs, rew, term, trunc, info = env.step(es, acts)  # t=2 -> truncated
+    assert bool(jnp.all(trunc))
+    # terminal agent_pos is the moved arm, not the reset pose
+    assert not np.allclose(
+        np.asarray(info["final_obs"]["agent_pos"]),
+        np.asarray(obs["agent_pos"]), atol=1e-4,
+    )
+    # terminal frame != reset frame
+    assert np.abs(
+        np.asarray(info["final_obs"]["pixels"], np.int32)
+        - np.asarray(obs["pixels"], np.int32)
+    ).max() > 0
 
 
 def test_pixels_sac_end_to_end():

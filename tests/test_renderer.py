@@ -10,6 +10,8 @@ rasterizer cannot silently break pixel observations.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -90,3 +92,31 @@ def test_front_close_camera_targets_wrist(setup):
     ee = np.asarray(d.site_xpos[m.site_id("ee_site")])
     ex, ey = _project(r, m, s, ee, cam="front_close")
     assert 0.2 * W < ex < 0.8 * W and 0.1 * H < ey < 0.9 * H, (ex, ey)
+
+
+def test_raw_observation_three_cameras():
+    """SO100Env.raw_observation mirrors the reference task-layer raw obs
+    (single_arm.py:82-113): qpos/qvel/env_state features plus the THREE
+    camera renders top/angle/front_close at obs resolution."""
+    import gymnasium as gym
+    import gym_so100_tpu  # noqa: F401 (registration)
+
+    e = gym.make(
+        "gym_so100_tpu/SO100TouchCube-v0",
+        obs_type="so100_state",
+        observation_width=32,
+        observation_height=24,
+    )
+    e.reset(seed=3)
+    raw = e.unwrapped.raw_observation()
+    assert set(raw) >= {
+        "qpos", "qvel", "env_state", "box_position", "bin_position",
+        "ee_position", "images",
+    }
+    assert set(raw["images"]) == {"top", "angle", "front_close"}
+    for cam, img in raw["images"].items():
+        assert img.shape == (24, 32, 3) and img.dtype == np.uint8, cam
+    # the three views are genuinely different cameras
+    assert not np.array_equal(raw["images"]["top"], raw["images"]["angle"])
+    assert not np.array_equal(raw["images"]["top"], raw["images"]["front_close"])
+    e.close()

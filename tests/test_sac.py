@@ -1,5 +1,10 @@
 """Learner smoke tests: SAC math, replay/HER buffers, end-to-end train step."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import numpy as np
 
 import jax

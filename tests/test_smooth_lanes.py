@@ -1,5 +1,10 @@
 """Lanes smooth dynamics == vmapped AoS smooth dynamics (f64)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import numpy as np
 
 import jax
