@@ -35,7 +35,9 @@ HULLS = os.environ.get("BENCH_HULL_CONTACTS", "1") == "1"
 
 
 def main():
-    m, _ = build_model(XML, max_contacts=24)
+    # K=16: reference MuJoCo ncon over 2,100 random-action steps peaks at 7
+    # (p99 5), so 16 keeps >2x headroom while halving solver rows vs K=32
+    m, _ = build_model(XML, max_contacts=16)
     m = m.astype(jnp.float32)
     env = BatchedEnv(m, "so100_cube_to_bin", num_envs=B, hull_contacts=HULLS)
     key = jax.random.PRNGKey(0)

@@ -34,7 +34,10 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_dir: str | None = None
     checkpoint_every: int = 5_000
-    hull_contacts: bool = False
+    # full contact set by default — policies train against the same physics
+    # the reference's MuJoCo engine exposes (arm-mesh + incidental pairs);
+    # set False only for quick state-obs experiments on reduced contacts
+    hull_contacts: bool = True
     # obs type: "state" (flat 15-dim) or "pixels_agent_pos" (the reference
     # flagship trainer's obs, train_sac.py:294-337) at obs_height x obs_width
     obs: str = "state"

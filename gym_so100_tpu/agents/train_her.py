@@ -208,6 +208,13 @@ class HERTrainer:
 
         obs, _ = self._obs(ts.genv.es)
         obs_goal = jnp.concatenate([obs, ts.genv.goal], -1)
+        # running obs normalization over the goal-conditioned observation
+        # (the analog of train.py:101-104; SAC._norm_obs consumes it)
+        ts = dataclasses.replace(
+            ts, sac=dataclasses.replace(
+                ts.sac, normalizer=ts.sac.normalizer.update(obs_goal)
+            )
+        )
         if learn:
             acts = self.sac.act(ts.sac, obs_goal, k_act)
         else:

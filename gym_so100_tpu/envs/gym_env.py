@@ -37,10 +37,16 @@ def _cached_model(xml_path, dtype_key):
     if key not in _MODEL_CACHE:
         # f64 (the single-env parity configuration) gets the exact-hull
         # multi-point manifold collider (build_model docstring); the f32
-        # throughput path keeps decimated single-point hull contacts
-        m, aux = build_model(xml_path, ccd_manifolds=dtype_key != "float32")
+        # throughput path keeps decimated single-point hull contacts and a
+        # K=16 contact buffer: the reference MuJoCo engine measured over 3
+        # full random-action CubeToBin episodes (2,100 steps) peaks at
+        # ncon=7 (p99 5, mean 2.8), so 16 keeps >2x headroom while nearly
+        # halving solver rows (PERF_NOTES "round 3")
         if dtype_key == "float32":
+            m, aux = build_model(xml_path, max_contacts=16)
             m = m.astype(jnp.float32)
+        else:
+            m, aux = build_model(xml_path, ccd_manifolds=True)
         _MODEL_CACHE[key] = (m, aux)
     return _MODEL_CACHE[key]
 

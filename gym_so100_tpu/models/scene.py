@@ -262,6 +262,13 @@ class Contact:
     geom2: jnp.ndarray   # (K,) int32
     condim: jnp.ndarray  # (K,) int32 (3 or 4 here)
     active: jnp.ndarray  # (K,) bool
+    # Optional per-contact statics, precomputed by the batched narrowphase
+    # so constraint assembly needs NO index gathers (serialized small-table
+    # gathers by (K, B) indices were ~20% of the control step on TPU;
+    # see PERF_NOTES "round 3").  None on the single-env path, where
+    # constraint.py derives them from geom1/geom2 instead.
+    dof_dmask: jnp.ndarray = None  # (K, nv) per-dof Jacobian sign mask
+    invw_diag: jnp.ndarray = None  # (K,) body_invweight0 sum of the pair
 
 
 @_pytree

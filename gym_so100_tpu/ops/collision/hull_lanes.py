@@ -157,9 +157,19 @@ def collide_hulls_lanes(m, d, margin=0.0):
     # --- per-pair overlap: h[d] = maxA(d) - minB(d);  argmin_d picks the
     # least-overlap (deepest-separating) sampled direction ---
     H = Ttop[:, i1, :] - Tbot[:, i2, :]          # (ND, P, B)
-    bd = jnp.argmin(H, axis=0)                   # (P, B) winning direction
-    depth = -jnp.min(H, axis=0)                  # negative when penetrating
-    nrm = [jnp.take(Dj[j], bd) for j in range(3)]  # (P, B) world normal 1->2
+    Hmin = jnp.min(H, axis=0)                    # (P, B)
+    depth = -Hmin                                # negative when penetrating
+    # winning direction as a one-hot CONTRACTION, not a gather: jnp.take of
+    # the (ND,) direction table by a (P, B) index array lowers to a
+    # serialized TPU gather that alone cost ~130 ms per control step at
+    # B=4096 (25% of the step; see PERF_NOTES "round 3").  First-min index
+    # via a masked iota min matches argmin's tie rule.
+    iota = jnp.arange(ND, dtype=jnp.int32)[:, None, None]
+    bd = jnp.min(jnp.where(H == Hmin[None], iota, ND), axis=0)   # (P, B)
+    onehot = iota == bd[None]                    # (ND, P, B)
+    nrm = [
+        jnp.sum(onehot * Dj[j][:, None, None], axis=0) for j in range(3)
+    ]  # (P, B) world normal 1->2
 
     # --- witness points: extreme vertex of each geom along the winning
     # direction, recomputed as an unrolled running-select chain ---

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...models.scene import Contact, Data, Model
 from . import boxbox
@@ -202,6 +203,28 @@ def _select_smallest_batched(key, K):
     return jnp.stack(out, axis=-1)
 
 
+def _select_smallest_onehot(key, K):
+    """Batched K-smallest as ONE-HOT rows: (B, M) -> (B, K, M) bool.
+
+    Row k is the one-hot of the k-th smallest entry (argmin-first tie
+    order, identical selection to `_select_smallest_batched`).  Returning
+    the masks instead of indices lets every downstream "gather" run as a
+    masked reduction — jnp.take_along_axis by a (B, K) index array lowers
+    to a serialized TPU gather (~30 ms per use per control step at B=4096;
+    see PERF_NOTES "round 3")."""
+    M = key.shape[-1]
+    big = jnp.asarray(jnp.inf, key.dtype)
+    cols = jnp.arange(M)
+    rows = []
+    k = key
+    for _ in range(K):
+        i = jnp.argmin(k, axis=-1)
+        mask = cols[None, :] == i[:, None]       # (B, M)
+        rows.append(mask)
+        k = jnp.where(mask, big, k)
+    return jnp.stack(rows, axis=1)
+
+
 def collide_batched(m: Model, d: Data) -> Contact:
     """Batched narrowphase: `d` leaves carry a leading env axis B.
 
@@ -298,35 +321,106 @@ def collide_batched(m: Model, d: Data) -> Contact:
 
     K = m.max_contacts
     key = jnp.where(active & jnp.isfinite(depth), depth, jnp.inf)
-    idx = _select_smallest_batched(key, K)  # (B, K)
 
-    def sel(a):
-        if a.ndim == 2:
-            return jnp.take_along_axis(a, idx, axis=1)
-        return jnp.take_along_axis(a, idx[..., None], axis=1)
+    # static per-pair tables (trace-time numpy; all Contact constants are
+    # functions of the pair id, so they never need data-dependent gathers)
+    from .. import constraint as constraint_mod
 
-    pair_k = sel(pair)
-    pair_geom = jnp.asarray(
-        [list(p) for p in (m.pairs.box_box + m.pairs.hull_box + m.pairs.hull_hull)],
-        jnp.int32,
-    )
-    condim = jnp.asarray(m.pair_condim, jnp.int32)
+    all_pairs = m.pairs.box_box + m.pairs.hull_box + m.pairs.hull_hull
+    npairs = len(all_pairs)
+    pair_geom_np = np.asarray([list(p) for p in all_pairs], np.int32)
+    gb_np = np.asarray(m.geom_bodyid, np.int32)
+    b1_np = gb_np[pair_geom_np[:, 0]]
+    b2_np = gb_np[pair_geom_np[:, 1]]
+    masks_np = np.asarray(constraint_mod._body_dof_masks(m))  # (nbody, nv)
+    dmask_np = masks_np[b2_np] - masks_np[b1_np]              # (npairs, nv)
+    binv_np = np.asarray(m.body_invweight0)[:, 0]
+    invw_np = binv_np[b1_np] + binv_np[b2_np]                 # (npairs,)
+    # slice to the live pair list: BatchedEnv(hull_contacts=False) truncates
+    # m.pairs (a prefix — box pairs come first) but not the pair_* tables
+    fric_np = np.asarray(m.pair_friction)[:npairs]
+    solref_np = np.asarray(m.pair_solref)[:npairs]
+    solimp_np = np.asarray(m.pair_solimp)[:npairs]
+    condim_np = np.asarray(m.pair_condim, np.int32)[:npairs]
+    nv = dmask_np.shape[1]
 
-    act = sel(active)
+    if dtype != jnp.float64:
+        # --- gather-free selection: one-hot rows over candidates, then a
+        # pair one-hot for the static tables ---
+        S = _select_smallest_onehot(key, K)                   # (B, K, M)
+
+        def selF(a):                                          # (B, M) -> (B, K)
+            return jnp.sum(jnp.where(S, a[:, None, :], 0), axis=-1)
+
+        act = jnp.any(S & active[:, None, :], axis=-1)
+        dist_k = selF(depth)
+        pos_k = jnp.stack([selF(pos[..., c]) for c in range(3)], axis=-1)
+        n_k = jnp.stack([selF(normal[..., c]) for c in range(3)], axis=-1)
+        pair_k = jnp.sum(
+            jnp.where(S, pair[:, None, :], 0), axis=-1
+        ).astype(jnp.int32)                                   # (B, K)
+        Sp = pair_k[..., None] == jnp.arange(npairs)          # (B, K, npairs)
+
+        def selT(tbl):                                        # (npairs,) -> (B, K)
+            t = jnp.asarray(tbl)
+            return jnp.sum(jnp.where(Sp, t[None, None, :], 0), axis=-1)
+
+        friction = jnp.stack(
+            [selT(fric_np[:, c].astype(dtype)) for c in range(fric_np.shape[1])],
+            axis=-1,
+        )
+        solref = jnp.stack(
+            [selT(solref_np[:, c].astype(dtype)) for c in range(2)], axis=-1
+        )
+        solimp = jnp.stack(
+            [selT(solimp_np[:, c].astype(dtype)) for c in range(5)], axis=-1
+        )
+        geom1 = selT(pair_geom_np[:, 0])
+        geom2 = selT(pair_geom_np[:, 1])
+        condim = selT(condim_np)
+        dof_dmask = jnp.stack(
+            [selT(dmask_np[:, v].astype(dtype)) for v in range(nv)], axis=-1
+        )
+        invw_diag = selT(invw_np.astype(dtype))
+    else:
+        # f64 parity path: top_k ordering + gathers (CPU handles them fine)
+        idx = _select_smallest_batched(key, K)                # (B, K)
+
+        def sel(a):
+            if a.ndim == 2:
+                return jnp.take_along_axis(a, idx, axis=1)
+            return jnp.take_along_axis(a, idx[..., None], axis=1)
+
+        pair_k = sel(pair)
+        act = sel(active)
+        dist_k = sel(depth)
+        pos_k = sel(pos)
+        n_k = sel(normal)
+        friction = jnp.asarray(fric_np, dtype)[pair_k]
+        solref = jnp.asarray(solref_np, dtype)[pair_k]
+        solimp = jnp.asarray(solimp_np, dtype)[pair_k]
+        geom1 = jnp.asarray(pair_geom_np[:, 0])[pair_k]
+        geom2 = jnp.asarray(pair_geom_np[:, 1])[pair_k]
+        condim = jnp.asarray(condim_np)[pair_k]
+        dof_dmask = jnp.asarray(dmask_np, dtype)[pair_k]
+        invw_diag = jnp.asarray(invw_np, dtype)[pair_k]
+
     ez = jnp.zeros(3, dtype).at[2].set(1.0)
-    n = jnp.where(act[..., None], sel(normal), ez[None, None])
+    n = jnp.where(act[..., None], n_k, ez[None, None])
     frame = _make_frame(n)
     return Contact(
-        dist=jnp.where(act, sel(depth), 0.0),
-        pos=jnp.where(act[..., None], sel(pos), 0.0),
+        dist=jnp.where(act, dist_k, 0.0),
+        pos=jnp.where(act[..., None], pos_k, 0.0),
         frame=frame,
-        friction=m.pair_friction[pair_k],
-        solref=m.pair_solref[pair_k],
-        solimp=m.pair_solimp[pair_k],
-        geom1=pair_geom[pair_k, 0],
-        geom2=pair_geom[pair_k, 1],
-        condim=condim[pair_k],
+        friction=friction,
+        solref=solref,
+        solimp=solimp,
+        geom1=geom1,
+        geom2=geom2,
+        condim=condim,
         active=act,
+        dof_dmask=dof_dmask,
+        invw_diag=invw_diag,
     )
 
 

@@ -174,9 +174,6 @@ def make_efc_lanes(m: Model, d: Data, s: State, con: Contact) -> EfcLanes:
     dist = T(con.dist)                             # (K, B)
     px, py, pz = (T(con.pos[..., c]) for c in range(3))
     fr = [[T(con.frame[..., r, c]) for c in range(3)] for r in range(3)]
-    gb = jnp.asarray(m.geom_bodyid, jnp.int32)
-    b1 = T(gb[con.geom1])                          # (K, B) int
-    b2 = T(gb[con.geom2])
 
     cd = jnp.moveaxis(d.cdof, 0, -1)               # (nv, 6, B)
     ang = [[cd[v, c] for c in range(3)] for v in range(nv)]
@@ -184,9 +181,17 @@ def make_efc_lanes(m: Model, d: Data, s: State, con: Contact) -> EfcLanes:
     com = d.subtree_com[:, 0]                      # (B, 3) root com
     off = [px - com[:, 0], py - com[:, 1], pz - com[:, 2]]
 
-    masks = _body_dof_masks(m)                     # numpy (nbody, nv)
-    mcols = [jnp.asarray(masks[:, v], dtype) for v in range(nv)]
-    dmk = [mcols[v][b2] - mcols[v][b1] for v in range(nv)]
+    if con.dof_dmask is not None:
+        # precomputed by the batched narrowphase (one-hot selected static
+        # table — no (K, B)-indexed gather; PERF_NOTES "round 3")
+        dmk = [T(con.dof_dmask[..., v]) for v in range(nv)]
+    else:
+        gb = jnp.asarray(m.geom_bodyid, jnp.int32)
+        b1i = T(gb[con.geom1])                     # (K, B) int
+        b2i = T(gb[con.geom2])
+        masks = _body_dof_masks(m)                 # numpy (nbody, nv)
+        mcols = [jnp.asarray(masks[:, v], dtype) for v in range(nv)]
+        dmk = [mcols[v][b2i] - mcols[v][b1i] for v in range(nv)]
 
     Jrows = [[None] * nv for _ in range(CDIM)]     # [row][v] -> (K, B)
     for v in range(nv):
@@ -215,8 +220,12 @@ def make_efc_lanes(m: Model, d: Data, s: State, con: Contact) -> EfcLanes:
         -Bk * vel[3],
     ]
 
-    binv = m.body_invweight0[:, 0]
-    diag = binv[b1] + binv[b2]
+    if con.invw_diag is not None:
+        diag = T(con.invw_diag)
+    else:
+        gb = jnp.asarray(m.geom_bodyid, jnp.int32)
+        binv = m.body_invweight0[:, 0]
+        diag = binv[T(gb[con.geom1])] + binv[T(gb[con.geom2])]
     Rn = jnp.maximum(MINVAL, (1 - imp) / imp * diag)
     Dn = 1.0 / Rn
     ip = jnp.asarray(m.impratio, dtype)

@@ -196,6 +196,11 @@ def forward_smooth_lanes(m: Model, s: State):
 
     # geoms / sites (AoS views for the collision + constraint stages)
     def frames_for(bodyids, pos_c, quat_c):
+        if len(bodyids) == 0:  # scene with no sites (or no geoms)
+            return (
+                jnp.zeros((B, 0, 3), dtype),
+                jnp.zeros((B, 0, 3, 3), dtype),
+            )
         px, mx = [], []
         for k, b in enumerate(bodyids):
             pk = xpos[b] + _qrot(xquat[b], _const_vec(pos_c[k], B, dtype))

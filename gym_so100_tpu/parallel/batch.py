@@ -53,13 +53,12 @@ class BatchedEnv:
         "agent_pos": (6,) qpos} (env.py:50-66) rendered on-device by the
         batched rasterizer (requires `render_aux` from build_model)."""
         if not hull_contacts:
-            # throughput mode: drop arm-mesh collision pairs.  The task
+            # reduced-contact mode: drop arm-mesh collision pairs.  The task
             # physics (cube vs table/pads/bin — all box pairs) is unaffected;
             # what is lost are incidental arm-link/table and jaw-shell/cube
-            # contacts.  The hull narrowphase currently triggers an XLA TPU
-            # scheduling pathology when combined with the box pipeline
-            # (~9x slowdown of the *box* code; see devtools notes), so this
-            # mode buys ~50x step throughput for RL training.
+            # contacts.  Training and the bench default to the FULL contact
+            # set (the gather-elimination lanes pipeline made hulls-on fast;
+            # PERF_NOTES "round 3"); this flag remains for quick experiments.
             import dataclasses
 
             m = dataclasses.replace(

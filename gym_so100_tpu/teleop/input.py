@@ -58,19 +58,103 @@ class InputController:
         return "open" if self.open_gripper_command else "close"
 
 
-KNOWN_PRODUCTS = (
-    "Logitech", "Xbox", "Wireless Controller", "DualSense", "8BitDo",
-)
+class GamepadLayout:
+    """HID input-report byte layout for one controller family.
+
+    The reference hardcodes a single Logitech RumblePad 2 layout inline
+    (gamepad_utils.py:165-232: dpad nibble at byte 1, four stick axes at
+    bytes 2-5, a shoulder/trigger bitfield at byte 6, an analog LT at
+    byte 7, face buttons at byte 8); other matched product strings get the
+    same offsets and simply mis-decode.  Here the layout is data, so each
+    family declares its own offsets and the decode loop is shared.
+
+    Attributes are byte indices into the report (None = not present):
+    `dpad` a (index, value->direction) table; `axes` the four stick bytes
+    in (left_x, left_y, right_x, right_y) order; `trig_bits` the bitfield
+    byte tested for RB/RT/LT; `buttons` the face-button bitfield byte with
+    `save/fail/rerecord` bit positions.
+    """
+
+    def __init__(self, axes, buttons, save_bit, fail_bit, rerecord_bit,
+                 dpad=None, dpad_map=None, trig_bits=None, lt=None, rt=None,
+                 min_len=8):
+        self.axes = axes
+        self.buttons = buttons
+        self.save_bit = save_bit
+        self.fail_bit = fail_bit
+        self.rerecord_bit = rerecord_bit
+        self.dpad = dpad
+        self.dpad_map = dpad_map or {}
+        self.trig_bits = trig_bits
+        self.lt = lt
+        self.rt = rt
+        self.min_len = min_len
+
+
+# hat-switch nibble -> direction, shared by the layouts below
+_HAT8 = {0: "up", 2: "right", 4: "down", 6: "left"}
+
+LAYOUTS = {
+    # Logitech RumblePad 2 / F310 in DirectInput mode: the reference's one
+    # decoded device (gamepad_utils.py:174-232).
+    "Logitech": GamepadLayout(
+        axes=(3, 2, 4, 5), buttons=8,
+        save_bit=7, fail_bit=5, rerecord_bit=4,
+        dpad=1, dpad_map={15: None, **_HAT8},
+        trig_bits=6, lt=7, min_len=9,
+    ),
+    # Sony DualSense / DualShock4 over USB: report id, sticks at 1-4,
+    # hat nibble + face buttons share byte 5, triggers analog at 8/9.
+    "DualSense": GamepadLayout(
+        axes=(1, 2, 3, 4), buttons=5,
+        save_bit=7, fail_bit=4, rerecord_bit=5,
+        dpad=5, dpad_map=_HAT8,
+        lt=8, rt=9, min_len=10,
+    ),
+    "Wireless Controller": GamepadLayout(  # DualShock 4 product string
+        axes=(1, 2, 3, 4), buttons=5,
+        save_bit=7, fail_bit=4, rerecord_bit=5,
+        dpad=5, dpad_map=_HAT8,
+        lt=8, rt=9, min_len=10,
+    ),
+    # Xbox-compatible / 8BitDo in XInput-over-HID form: sticks 16-bit LE
+    # would need struct decode; the common HID fallback report mirrors the
+    # Logitech shape with buttons one byte later.
+    "Xbox": GamepadLayout(
+        axes=(3, 2, 4, 5), buttons=8,
+        save_bit=7, fail_bit=5, rerecord_bit=4,
+        dpad=1, dpad_map={15: None, **_HAT8},
+        trig_bits=6, lt=7, min_len=9,
+    ),
+    "8BitDo": GamepadLayout(
+        axes=(3, 2, 4, 5), buttons=8,
+        save_bit=7, fail_bit=5, rerecord_bit=4,
+        dpad=1, dpad_map={15: None, **_HAT8},
+        trig_bits=6, lt=7, min_len=9,
+    ),
+}
+
+KNOWN_PRODUCTS = tuple(LAYOUTS)
 
 
 class GamepadControllerHID(InputController):
-    """hidapi-based gamepad reader (reference gamepad_utils.py:69-232)."""
+    """hidapi-based gamepad reader (reference gamepad_utils.py:69-232).
+
+    Full decode per report: dpad direction, four stick axes with deadzone,
+    analog triggers (`lt`/`rt` in [0,1]), RB-held intervention flag,
+    RT/LT gripper open/close, and face-button episode tagging — matching
+    the reference's Logitech decode and extending it to per-product
+    layouts via the LAYOUTS table."""
 
     def __init__(self, *args, deadzone=0.1, **kw):
         super().__init__(*args, **kw)
         self.deadzone = deadzone
         self.device = None
+        self.layout = None
         self.left_x = self.left_y = self.right_x = self.right_y = 0.0
+        self.direction = None
+        self.lt = 0.0
+        self.rt = 0.0
 
     def start(self):
         try:
@@ -81,11 +165,13 @@ class GamepadControllerHID(InputController):
             ) from e
         for info in hid.enumerate():
             prod = (info.get("product_string") or "")
-            if any(k in prod for k in KNOWN_PRODUCTS):
-                self.device = hid.device()
-                self.device.open_path(info["path"])
-                self.device.set_nonblocking(True)
-                return
+            for key in KNOWN_PRODUCTS:
+                if key in prod:
+                    self.layout = LAYOUTS[key]
+                    self.device = hid.device()
+                    self.device.open_path(info["path"])
+                    self.device.set_nonblocking(True)
+                    return
         raise RuntimeError("no known gamepad found")
 
     def stop(self):
@@ -101,31 +187,53 @@ class GamepadControllerHID(InputController):
     def update(self):
         if self.device is None:
             return
-        # drain up to 10 reports per update (gamepad_utils.py:157-163)
+        # drain up to 10 reports per update; HID nonblocking reads return
+        # stale frames until the queue empties (gamepad_utils.py:157-163)
         for _ in range(10):
             data = self.device.read(64)
             if not data:
                 break
-            if len(data) < 10:
-                continue
-            self.left_x = self._axis(data[1], self.deadzone)
-            self.left_y = self._axis(data[2], self.deadzone)
-            self.right_x = self._axis(data[3], self.deadzone)
-            self.right_y = self._axis(data[4], self.deadzone)
-            buttons = data[5] if len(data) > 5 else 0
-            # face buttons tag episode status (gamepad_utils.py:225-232)
-            if buttons & 0x20:
-                self.episode_end_status = "success"
-            elif buttons & 0x10:
-                self.episode_end_status = "failure"
-            elif buttons & 0x40:
-                self.episode_end_status = "rerecord_episode"
-            self.open_gripper_command = bool(buttons & 0x01)
-            self.close_gripper_command = bool(buttons & 0x02)
+            self._decode(data)
+
+    def _decode(self, data):
+        lay = self.layout
+        if lay is None or len(data) < lay.min_len:
+            return
+        ax = lay.axes
+        self.left_x = self._axis(data[ax[0]], self.deadzone)
+        self.left_y = self._axis(data[ax[1]], self.deadzone)
+        self.right_x = self._axis(data[ax[2]], self.deadzone)
+        self.right_y = self._axis(data[ax[3]], self.deadzone)
+        if lay.dpad is not None:
+            self.direction = lay.dpad_map.get(data[lay.dpad] & 0x0F)
+        if lay.lt is not None and len(data) > lay.lt:
+            self.lt = data[lay.lt] / 255.0
+        if lay.rt is not None and len(data) > lay.rt:
+            self.rt = data[lay.rt] / 255.0
+        if lay.trig_bits is not None and len(data) > lay.trig_bits:
+            tb = data[lay.trig_bits]
+            # RB bit 1 held = human intervention; RT bit 3 opens, LT bit 2
+            # closes (the reference's enumerated value sets
+            # gamepad_utils.py:216-222 are exactly these bit tests)
+            self.intervention_flag = bool(tb & 0x02)
+            self.open_gripper_command = bool(tb & 0x08)
+            self.close_gripper_command = bool(tb & 0x04)
+        buttons = data[lay.buttons] if len(data) > lay.buttons else 0
+        if buttons & (1 << lay.save_bit):
+            self.episode_end_status = "success"
+        elif buttons & (1 << lay.fail_bit):
+            self.episode_end_status = "failure"
+        elif buttons & (1 << lay.rerecord_bit):
+            self.episode_end_status = "rerecord_episode"
+        else:
+            self.episode_end_status = None
 
     def get_deltas(self):
+        # stick-to-world mapping as in the reference (gamepad_utils.py:
+        # 239-249): left stick xy moves the EE in the plane, right stick y
+        # drives z; signs flipped for a "push forward = away" feel
         return (
-            self.left_x * self.x_step_size,
+            -self.left_x * self.x_step_size,
             -self.left_y * self.y_step_size,
             -self.right_y * self.z_step_size,
         )

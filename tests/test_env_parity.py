@@ -12,6 +12,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import gymnasium as gym
 from gymnasium.utils.env_checker import check_env
 
@@ -59,6 +61,94 @@ def test_state_obs_reward_parity(env_id, task_steps):
         assert info_j["is_success"] == info_r["is_success"]
         if term_r or trunc_r:
             break
+    ref.close()
+    jx.close()
+
+
+@pytest.mark.parametrize(
+    "env_id,episode_steps,seed",
+    [
+        # full registered episodes (gym_so100/__init__.py:7,17,27), 3 seeds
+        ("SO100TouchCube-v0", 300, 7),
+        ("SO100TouchCube-v0", 300, 11),
+        ("SO100TouchCube-v0", 300, 23),
+        ("SO100CubeToBin-v0", 700, 7),
+    ],
+)
+def test_full_episode_parity(env_id, episode_steps, seed):
+    """Full-episode lockstep vs the live reference env, tiered tolerances.
+
+    Calibration (devtools/measure_parity_full.py over these exact configs):
+    the engines agree to the f32 obs-casting floor (~2e-7) until a
+    contact-event micro-divergence seeds chaotic amplification — earliest
+    onset observed at step 56 (TouchCube seed 7).  Thereafter the
+    trajectories decorrelate but stay statistically identical: max obs
+    drift 0.25, max instantaneous reward delta 0.098, mean-episode reward
+    delta <= 0.0103, and termination/success flags never differ.  Tiers:
+    bit-tight before step 50; bounded drift + exact behavior flags after;
+    statistical (mean-episode) reward parity over the whole episode.
+    """
+    ref = gym.make(f"gym_so100/{env_id}", obs_type="so100_state")
+    jx = gym.make(f"gym_so100_tpu/{env_id}", obs_type="so100_state")
+    obs_r, _ = ref.reset(seed=seed)
+    obs_j, _ = jx.reset(seed=seed)
+    np.testing.assert_allclose(obs_j, obs_r, atol=1e-6)
+    rng = np.random.RandomState(1000 + seed)
+    acts = rng.uniform(-1, 1, size=(episode_steps, 6)).astype(np.float32)
+    rews_r, rews_j = [], []
+    for i, a in enumerate(acts):
+        obs_r, rew_r, term_r, trunc_r, info_r = ref.step(a)
+        obs_j, rew_j, term_j, trunc_j, info_j = jx.step(a)
+        assert np.all(np.isfinite(obs_j)), f"step {i}: non-finite obs"
+        tol = 1e-4 if i < 50 else 0.5
+        tol_rew = 1e-4 if i < 50 else 0.25
+        np.testing.assert_allclose(obs_j, obs_r, atol=tol, err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            rew_j, rew_r, atol=tol_rew, err_msg=f"step {i}"
+        )
+        assert term_j == term_r, f"step {i}"
+        assert info_j["is_success"] == info_r["is_success"], f"step {i}"
+        rews_r.append(float(rew_r))
+        rews_j.append(float(rew_j))
+        if term_r or trunc_r:
+            break
+    assert abs(np.mean(rews_j) - np.mean(rews_r)) <= 0.03
+    ref.close()
+    jx.close()
+
+
+def test_f64_qpos_qvel_lockstep():
+    """BASELINE "bit-matched rollouts" tier: raw f64 qpos/qvel against the
+    reference MuJoCo engine, no f32 obs casting in the way, first 50 steps.
+
+    Calibrated with devtools/measure_lockstep.py (seed 7, actions
+    RandomState(1007)): step 0 is solver-inactive and agrees to roundoff
+    (qpos 8e-17); from step 1 on, both engines' *iterative* Newton contact
+    solvers terminate at their own tolerance, which floors the agreement at
+    ~3e-8 qvel immediately and drifts to qpos 2.8e-7 / qvel 2.0e-6 by step
+    50.  True bit-matching is unattainable between two independent
+    iterative solvers; the assert pins the measured floor with ~3x
+    headroom (qpos 1e-6, qvel 1e-5) plus roundoff-exact step 0."""
+    import jax
+
+    assert jax.config.jax_enable_x64  # conftest guarantees this
+    ref = gym.make("gym_so100/SO100TouchCube-v0", obs_type="so100_state")
+    jx = gym.make("gym_so100_tpu/SO100TouchCube-v0", obs_type="so100_state")
+    ref.reset(seed=7)
+    jx.reset(seed=7)
+    pr = ref.unwrapped._env.physics
+    rng = np.random.RandomState(1007)
+    acts = rng.uniform(-1, 1, size=(50, 6)).astype(np.float32)
+    for i, a in enumerate(acts):
+        ref.step(a)
+        jx.step(a)
+        qp_r = np.asarray(pr.data.qpos)
+        qv_r = np.asarray(pr.data.qvel)
+        qp_j = np.asarray(jx.unwrapped._es.physics.qpos)
+        qv_j = np.asarray(jx.unwrapped._es.physics.qvel)
+        tol_p, tol_v = (1e-12, 1e-12) if i == 0 else (1e-6, 1e-5)
+        np.testing.assert_allclose(qp_j, qp_r, atol=tol_p, err_msg=f"step {i}")
+        np.testing.assert_allclose(qv_j, qv_r, atol=tol_v, err_msg=f"step {i}")
     ref.close()
     jx.close()
 

@@ -60,10 +60,16 @@ def test_panda_mocap_weld_ik(panda):
     q = np.asarray(s.qpos)
     assert np.isfinite(q).all()
     drift = np.linalg.norm(np.asarray(kin(s)) - p0)
-    assert drift < 0.05, drift
+    # Oracle calibration (devtools/probe_panda_weld.py): MuJoCo itself
+    # settles 0.140 m from the keyframe EE pose on this exact rollout —
+    # "home" is not an equilibrium the weld+servos can hold, so the bound
+    # is "settles like MuJoCo", not "stays put" (JAX measures 0.114).
+    assert drift < 0.2, drift
 
     # move the weld target 3 cm +x: the ee must follow
-    s2 = s.replace(mocap_pos=s.mocap_pos + jnp.asarray([[0.03, 0, 0]]))
+    s2 = s.replace(
+        mocap_pos=s.mocap_pos + jnp.asarray([[0.03, 0, 0]], jnp.float32)
+    )
     for _ in range(50):
         s2 = roll(s2)
     dx = np.asarray(kin(s2)) - np.asarray(kin(s))

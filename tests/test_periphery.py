@@ -55,6 +55,59 @@ def test_input_controller_contract():
     assert joints == set(range(6))
 
 
+def test_gamepad_decode_logitech_layout():
+    """Synthetic HID reports through the Logitech RumblePad 2 layout —
+    the one device the reference actually decodes (gamepad_utils.py:
+    174-232): dpad nibble, stick axes with deadzone, trigger bitfield
+    (RB intervention, RT open, LT close), face-button episode tags."""
+    from gym_so100_tpu.teleop.input import GamepadControllerHID, LAYOUTS
+
+    c = GamepadControllerHID(x_step_size=1.0, y_step_size=1.0, z_step_size=1.0)
+    c.layout = LAYOUTS["Logitech"]
+
+    # idle report: centered sticks, hat 15 (released), nothing pressed
+    idle = [0, 15, 128, 128, 128, 128, 0, 0, 0]
+    c._decode(idle)
+    assert c.direction is None
+    assert c.get_deltas() == (0.0, 0.0, 0.0)
+    assert c.gripper_command() == "no-op"
+    assert not c.intervention_flag and c.episode_end_status is None
+
+    # full-left left stick (byte 3 = left_x -> 0), dpad up, RB held
+    rep = [0, 0, 128, 0, 128, 128, 0x02, 0, 0]
+    c._decode(rep)
+    assert c.direction == "up"
+    assert c.intervention_flag
+    dx, dy, dz = c.get_deltas()
+    assert dx == 1.0 and dy == 0.0 and dz == 0.0  # -(-1.0) * step
+
+    # RT opens, LT closes, both -> no-op
+    c._decode([0, 15, 128, 128, 128, 128, 0x08, 0, 0])
+    assert c.gripper_command() == "open"
+    c._decode([0, 15, 128, 128, 128, 128, 0x04, 0, 0])
+    assert c.gripper_command() == "close"
+    c._decode([0, 15, 128, 128, 128, 128, 0x0C, 0, 0])
+    assert c.gripper_command() == "no-op"
+
+    # face buttons: Y(bit7)=success, X(bit5)=failure, A(bit4)=rerecord
+    c._decode([0, 15, 128, 128, 128, 128, 0, 0, 1 << 7])
+    assert c.episode_end_status == "success"
+    c._decode([0, 15, 128, 128, 128, 128, 0, 0, 1 << 5])
+    assert c.episode_end_status == "failure"
+    c._decode([0, 15, 128, 128, 128, 128, 0, 0, 1 << 4])
+    assert c.episode_end_status == "rerecord_episode"
+    c._decode(idle)
+    assert c.episode_end_status is None
+
+    # deadzone: small stick offsets stay zero
+    c._decode([0, 15, 128, 133, 128, 128, 0, 0, 0])
+    assert c.get_deltas() == (0.0, 0.0, 0.0)
+
+    # every known product key has a layout with the required fields
+    for lay in LAYOUTS.values():
+        assert len(lay.axes) == 4 and lay.min_len >= max(lay.axes) + 1
+
+
 def test_lerobot_unit_conversions_roundtrip():
     from gym_so100_tpu.envs import constants as C
 

@@ -76,11 +76,17 @@ def test_depth_ordering_and_determinism(setup):
     img2 = np.asarray(r.render(s, H, W, "top"))
     np.testing.assert_array_equal(img1, img2)
 
-    # the sky color must be mostly occluded from the top camera (table fills
-    # the frame), and the frame must contain >3 distinct colors (geometry)
+    # depth ordering: the table must occlude the sky where it projects.
+    # From "top" (0.8 m above, fovy 78, 4:3) the ~1.2x0.6 m tabletop spans
+    # only ~35% of the frame, so assert occlusion where it is guaranteed:
+    # the central strip (the table is centered under the camera), plus a
+    # loose global bound and >3 distinct colors (geometry present).
     sky = np.asarray([183, 204, 226])
-    sky_frac = (np.abs(img1.astype(int) - sky).sum(-1) < 12).mean()
-    assert sky_frac < 0.5, sky_frac
+    is_sky = np.abs(img1.astype(int) - sky).sum(-1) < 12
+    ch, cw = H // 2, W // 2
+    center = is_sky[ch - H // 8 : ch + H // 8, cw - W // 8 : cw + W // 8]
+    assert center.mean() < 0.05, center.mean()
+    assert is_sky.mean() < 0.8, is_sky.mean()
     assert len(np.unique(img1.reshape(-1, 3), axis=0)) > 3
 
 
