@@ -105,7 +105,7 @@ class Trainer:
             obs["agent_pos"] if self.sac.cfg.pixels else obs
         )
         st = dataclasses.replace(st, buffer=buffer, normalizer=normalizer)
-        return st, es2, next_obs, rew
+        return st, es2, next_obs, rew, jnp.max(info["ncon"])
 
     def _rollout_impl(self, st: SACState, es, obs):
         key, k1 = jax.random.split(st.key)
@@ -115,6 +115,10 @@ class Trainer:
         st, metrics = self.sac.train_step(
             st, obs, acts, rew, info["final_obs"], term
         )
+        # contact-buffer saturation watch: max active narrowphase candidates
+        # this step; values at/above model.max_contacts mean the fixed K
+        # buffer clipped real contacts (ADVICE r3: make overflow observable)
+        metrics = dict(metrics, ncon_max=jnp.max(info["ncon"]))
         return st, es2, next_obs, rew, metrics
 
     def _apply_stage(self, st: SACState, env_steps):
@@ -155,22 +159,26 @@ class Trainer:
         steps = int(st.step)  # resumes continue the step count
         t0 = time.time()
         rew_acc = []
+        ncon_peak = 0
         while steps * t.num_envs < t.total_steps:
             st = self._apply_stage(st, steps * t.num_envs)
             if steps * t.num_envs < t.learning_starts:
-                st, es, obs, rew = self._rollout_warm(st, es, obs)
+                st, es, obs, rew, ncon = self._rollout_warm(st, es, obs)
                 metrics = {}
             else:
                 st, es, obs, rew, metrics = self._rollout(st, es, obs)
+                ncon = metrics.pop("ncon_max", 0)
             steps += 1
             rew_acc.append(rew)
             if steps % t.log_every == 0:
+                ncon_peak = max(ncon_peak, int(ncon))
                 mean_rew = float(jnp.stack(rew_acc).mean())
                 rew_acc = []
                 line = {
                     "env_steps": steps * t.num_envs,
                     "mean_reward": round(mean_rew, 4),
                     "sps": round(steps * t.num_envs / (time.time() - t0), 1),
+                    "ncon_peak": ncon_peak,
                 }
                 for k, v in metrics.items():
                     line[k] = round(float(v), 4)

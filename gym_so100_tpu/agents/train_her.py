@@ -77,7 +77,7 @@ class HERConfig:
     log_every: int = 50
     checkpoint_dir: str | None = None
     checkpoint_every: int = 20_000
-    hull_contacts: bool = False
+    hull_contacts: bool = True     # full contact set, same as TrainConfig
     max_episode_steps: int = T_MAX
 
 

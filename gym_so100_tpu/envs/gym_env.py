@@ -188,14 +188,18 @@ class SO100Env(gym.Env):
         d = core.fwd.position_stage(self._m, s)
         obs = core.observations(self._m, d, s, self._ids)
         r = self._get_renderer()
+        # reference dict keys (single_arm.py:88-102): the front_close render
+        # is stored under "vis"
         images = {
-            cam: np.asarray(
+            key: np.asarray(
                 r.render(
                     s, height=self.observation_height,
                     width=self.observation_width, camera=cam,
                 )
             )
-            for cam in ("top", "angle", "front_close")
+            for key, cam in (
+                ("top", "top"), ("angle", "angle"), ("vis", "front_close")
+            )
         }
         out = {k: np.asarray(v) for k, v in obs.items()}
         out["images"] = images

@@ -269,6 +269,11 @@ class Contact:
     # constraint.py derives them from geom1/geom2 instead.
     dof_dmask: jnp.ndarray = None  # (K, nv) per-dof Jacobian sign mask
     invw_diag: jnp.ndarray = None  # (K,) body_invweight0 sum of the pair
+    # Number of active narrowphase candidates BEFORE the deepest-K cull.
+    # ncand > K means the fixed buffer overflowed and shallow contacts were
+    # dropped — surfaced as info["ncon"] by BatchedEnv so training can see
+    # saturation instead of silently losing contacts.
+    ncand: jnp.ndarray = None      # () int32 (or (B,) batched)
 
 
 @_pytree

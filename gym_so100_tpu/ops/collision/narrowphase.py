@@ -180,6 +180,7 @@ def collide(m: Model, d: Data) -> Contact:
         geom2=pair_geom[pair_k, 1],
         condim=condim[pair_k],
         active=act,
+        ncand=jnp.sum(active & jnp.isfinite(depth)).astype(jnp.int32),
     )
 
 
@@ -421,6 +422,7 @@ def collide_batched(m: Model, d: Data) -> Contact:
         active=act,
         dof_dmask=dof_dmask,
         invw_diag=invw_diag,
+        ncand=jnp.sum(active & jnp.isfinite(depth), axis=1).astype(jnp.int32),
     )
 
 

@@ -140,7 +140,7 @@ class BatchedEnv:
                 "agent_pos": es3.physics.qpos[:, :6].astype(jnp.float32),
             }
             return es3, obs_out, reward, terminated, truncated, {
-                "final_obs": final_obs
+                "final_obs": final_obs, "ncon": d.contact.ncand,
             }
 
         final_obs = self._obs_vector(obs)
@@ -157,8 +157,12 @@ class BatchedEnv:
             )(d0, fresh.physics)
         )
         obs_out = jnp.where(done[:, None], reset_obs, final_obs)
+        # info["ncon"]: active narrowphase candidates per env BEFORE the
+        # deepest-K cull — ncon > max_contacts means the fixed buffer
+        # saturated and shallow contacts were dropped (observable, not
+        # silent; trainers log the running max)
         return es3, obs_out, reward, terminated, truncated, {
-            "final_obs": final_obs
+            "final_obs": final_obs, "ncon": d.contact.ncand,
         }
 
     # -- public API ----------------------------------------------------------

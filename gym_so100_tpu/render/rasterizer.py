@@ -101,7 +101,12 @@ class Renderer:
                      [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]]
                 )
             else:
-                continue
+                # fail loudly: silently skipping a geom type renders
+                # half-empty frames on scenes beyond the vendored ones
+                raise NotImplementedError(
+                    f"rasterizer: unsupported geom type {g['type']!r} "
+                    f"(body {g['body']}); supported: mesh, box"
+                )
             # place in geom frame within the body
             q = np.asarray(g["quat"], dtype=np.float64)
             v = np.stack([_quat_rot_np(q, vv) for vv in v]) + np.asarray(g["pos"])

@@ -77,7 +77,7 @@ class GamepadLayout:
 
     def __init__(self, axes, buttons, save_bit, fail_bit, rerecord_bit,
                  dpad=None, dpad_map=None, trig_bits=None, lt=None, rt=None,
-                 min_len=8):
+                 shoulder=None, intervene_bit=1, min_len=8):
         self.axes = axes
         self.buttons = buttons
         self.save_bit = save_bit
@@ -88,6 +88,11 @@ class GamepadLayout:
         self.trig_bits = trig_bits
         self.lt = lt
         self.rt = rt
+        # Sony pads carry L1/R1/L2/R2 in a separate bitfield byte; when
+        # `trig_bits` is absent, intervention comes from `shoulder` bit
+        # `intervene_bit` (R1) and gripper open/close from the lt/rt analogs
+        self.shoulder = shoulder
+        self.intervene_bit = intervene_bit
         self.min_len = min_len
 
 
@@ -103,19 +108,23 @@ LAYOUTS = {
         dpad=1, dpad_map={15: None, **_HAT8},
         trig_bits=6, lt=7, min_len=9,
     ),
-    # Sony DualSense / DualShock4 over USB: report id, sticks at 1-4,
-    # hat nibble + face buttons share byte 5, triggers analog at 8/9.
+    # Sony DualSense over USB (report 0x01): sticks at 1-4, L2/R2 analog at
+    # 5/6, seq counter at 7, hat nibble + face buttons share byte 8
+    # (square/cross/circle/triangle bits 4-7), L1/R1/... bitfield at byte 9.
     "DualSense": GamepadLayout(
-        axes=(1, 2, 3, 4), buttons=5,
+        axes=(1, 2, 3, 4), buttons=8,
         save_bit=7, fail_bit=4, rerecord_bit=5,
-        dpad=5, dpad_map=_HAT8,
-        lt=8, rt=9, min_len=10,
+        dpad=8, dpad_map=_HAT8,
+        lt=5, rt=6, shoulder=9, min_len=10,
     ),
-    "Wireless Controller": GamepadLayout(  # DualShock 4 product string
+    # Sony DualShock 4 over USB (product string "Wireless Controller",
+    # report 0x01): sticks at 1-4, hat nibble + face buttons share byte 5,
+    # L1/R1/L2/R2 bitfield at byte 6, triggers analog at 8/9.
+    "Wireless Controller": GamepadLayout(
         axes=(1, 2, 3, 4), buttons=5,
         save_bit=7, fail_bit=4, rerecord_bit=5,
         dpad=5, dpad_map=_HAT8,
-        lt=8, rt=9, min_len=10,
+        lt=8, rt=9, shoulder=6, min_len=10,
     ),
     # Xbox-compatible / 8BitDo in XInput-over-HID form: sticks 16-bit LE
     # would need struct decode; the common HID fallback report mirrors the
@@ -218,6 +227,15 @@ class GamepadControllerHID(InputController):
             self.intervention_flag = bool(tb & 0x02)
             self.open_gripper_command = bool(tb & 0x08)
             self.close_gripper_command = bool(tb & 0x04)
+        else:
+            # Sony pads: triggers are analog-only — threshold them for the
+            # gripper, and read intervention (R1) from the shoulder bitfield
+            self.open_gripper_command = self.rt > 0.5
+            self.close_gripper_command = self.lt > 0.5
+            if lay.shoulder is not None and len(data) > lay.shoulder:
+                self.intervention_flag = bool(
+                    data[lay.shoulder] & (1 << lay.intervene_bit)
+                )
         buttons = data[lay.buttons] if len(data) > lay.buttons else 0
         if buttons & (1 << lay.save_bit):
             self.episode_end_status = "success"

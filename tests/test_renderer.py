@@ -103,7 +103,8 @@ def test_front_close_camera_targets_wrist(setup):
 def test_raw_observation_three_cameras():
     """SO100Env.raw_observation mirrors the reference task-layer raw obs
     (single_arm.py:82-113): qpos/qvel/env_state features plus the THREE
-    camera renders top/angle/front_close at obs resolution."""
+    camera renders top/angle/vis (the front_close camera) at obs
+    resolution, matching the reference dict keys (single_arm.py:88-102)."""
     import gymnasium as gym
     import gym_so100_tpu  # noqa: F401 (registration)
 
@@ -119,10 +120,10 @@ def test_raw_observation_three_cameras():
         "qpos", "qvel", "env_state", "box_position", "bin_position",
         "ee_position", "images",
     }
-    assert set(raw["images"]) == {"top", "angle", "front_close"}
+    assert set(raw["images"]) == {"top", "angle", "vis"}
     for cam, img in raw["images"].items():
         assert img.shape == (24, 32, 3) and img.dtype == np.uint8, cam
     # the three views are genuinely different cameras
     assert not np.array_equal(raw["images"]["top"], raw["images"]["angle"])
-    assert not np.array_equal(raw["images"]["top"], raw["images"]["front_close"])
+    assert not np.array_equal(raw["images"]["top"], raw["images"]["vis"])
     e.close()
