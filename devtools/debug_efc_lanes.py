@@ -30,7 +30,7 @@ s = jax.tree_util.tree_map(
 )
 s = s.replace(qpos=jnp.asarray(qpos),
               ctrl=jnp.asarray(rng.uniform(-0.5, 0.5, (B, m.nu))))
-s = jax.jit(lambda s: fwd.n_steps_batched(m, s, 50))(s)
+s = jax.jit(lambda s: fwd.n_steps_batched(m, s, 50)[0])(s)
 
 d = jax.vmap(lambda s1: smooth.forward_smooth(m, s1))(s)
 con = narrowphase.collide_batched(m, d)

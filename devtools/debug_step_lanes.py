@@ -28,7 +28,7 @@ s = jax.tree_util.tree_map(
 )
 s = s.replace(qpos=jnp.asarray(qpos),
               ctrl=jnp.asarray(rng.uniform(-0.5, 0.5, (B, m.nu))))
-s = jax.jit(lambda s: fwd.n_steps_batched(m, s, 50))(s)
+s = jax.jit(lambda s: fwd.n_steps_batched(m, s, 50)[0])(s)
 
 # stage-by-stage comparison
 sl = smooth_lanes.forward_smooth_lanes(m, s)

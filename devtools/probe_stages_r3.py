@@ -30,7 +30,7 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 
 
 def main():
-    m, _ = build_model(XML, max_contacts=24)
+    m, _ = build_model(XML, max_contacts=16)
     m = m.astype(jnp.float32)
     env = BatchedEnv(m, "so100_cube_to_bin", num_envs=B, hull_contacts=True)
     mm = env.m

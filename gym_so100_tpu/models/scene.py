@@ -278,6 +278,36 @@ class Contact:
 
 @_pytree
 @dataclass(frozen=True)
+class ContactLanes:
+    """Selected contact buffer in batch-last lanes form (fields (K, B)).
+
+    The TPU throughput layout: every per-contact scalar component is its
+    own (K, B) lane array (B minor — fully-utilized 8x128 tiles), so the
+    narrowphase candidate selection and the constraint assembly never
+    materialize (..., 3)-minor tensors or transpose the batch axis.
+    Spatial components are tuples (x, y, z); `frame` is rows-major nested
+    tuples fr[row][comp].  Produced by narrowphase.collide_batched_lanes,
+    consumed by constraint_lanes.make_efc_from_lanes."""
+
+    dist: jnp.ndarray     # (K, B)
+    pos: tuple            # 3 x (K, B) world midpoint
+    frame: tuple          # 3 x 3 x (K, B) rows: normal, t1, t2
+    friction0: jnp.ndarray  # (K, B) slide
+    friction1: jnp.ndarray  # (K, B) torsion
+    solref0: jnp.ndarray    # (K, B)
+    solref1: jnp.ndarray    # (K, B)
+    solimp: tuple           # 5 x (K, B)
+    geom1: jnp.ndarray    # (K, B) int32
+    geom2: jnp.ndarray    # (K, B) int32
+    condim: jnp.ndarray   # (K, B) int32
+    active: jnp.ndarray   # (K, B) bool
+    dof_dmask: tuple      # nv x (K, B) per-dof Jacobian sign mask
+    invw_diag: jnp.ndarray  # (K, B)
+    ncand: jnp.ndarray    # (B,) int32 active candidates before the cull
+
+
+@_pytree
+@dataclass(frozen=True)
 class Data:
     """Per-step derived quantities (the parts of mjData the envs consume)."""
 
@@ -302,6 +332,9 @@ class Data:
     qfrc_constraint: jnp.ndarray = None  # (NV,)
     contact: Contact = None
     solver_niter: jnp.ndarray = None   # () int32
+    # max active narrowphase candidates over the substeps (see Contact.ncand);
+    # set by the batched control step on its position-stage Data
+    ncon: jnp.ndarray = None           # () int32
 
     def replace(self, **kw) -> "Data":
         return dataclasses.replace(self, **kw)

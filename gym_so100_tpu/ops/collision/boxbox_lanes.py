@@ -175,38 +175,44 @@ def box_box_lanes(p1, R1, s1, p2, R2, s2, margin=0.0):
     du = [si_u * col_u[r] for r in range(3)]
     dv = [si_v * col_v[r] for r in range(3)]
 
-    # ring of MAXP slots (SoA per coordinate), valid count
-    px = [zero] * MAXP
-    py = [zero] * MAXP
-    pz = [zero] * MAXP
-    for k, (su, sv) in enumerate(((1, 1), (-1, 1), (-1, -1), (1, -1))):
-        px[k] = center[0] + su * du[0] + sv * dv[0]
-        py[k] = center[1] + su * du[1] + sv * dv[1]
-        pz[k] = center[2] + su * du[2] + sv * dv[2]
+    # ring of clip points: only the canonical (x, y) coordinates are
+    # tracked through the clip — every clipped point stays on the incident
+    # face PLANE, so z is recovered afterwards from the plane equation
+    # (the face is the most anti-parallel to the reference normal, so its
+    # projection onto canonical xy is never degenerate).  Slot counts grow
+    # 4 -> 5 -> 6 -> 7 -> 8 per plane (a convex polygon clipped by one
+    # half-plane gains at most one vertex), which together with dropping
+    # the z lane cuts the masked-compaction work ~2.6x.
+    px = []
+    py = []
+    for su, sv in ((1, 1), (-1, 1), (-1, -1), (1, -1)):
+        px.append(center[0] + su * du[0] + sv * dv[0])
+        py.append(center[1] + su * du[1] + sv * dv[1])
     count = jnp.full_like(ax, 4)
 
     # Sutherland-Hodgman against the 4 side planes: +/-x <= srp[0],
     # +/-y <= srp[1]
     for plane_ax, plane_sign in ((0, 1.0), (0, -1.0), (1, 1.0), (1, -1.0)):
+        n = len(px)                      # current slot capacity
+        cap = min(n + 1, MAXP)           # capacity after this plane
         limit = srp[plane_ax]
         coords = px if plane_ax == 0 else py
-        d = [plane_sign * coords[k] - limit for k in range(MAXP)]
-        inside = [d[k] <= 0 for k in range(MAXP)]
-        valid = [count > k for k in range(MAXP)]
+        d = [plane_sign * coords[k] - limit for k in range(n)]
+        inside = [d[k] <= 0 for k in range(n)]
+        valid = [count > k for k in range(n)]
 
         # candidates: per edge k -> (kept point, crossing intersection)
-        cand_x, cand_y, cand_z, keep = [], [], [], []
-        for k in range(MAXP):
+        cand_x, cand_y, keep = [], [], []
+        for k in range(n):
             # ring-next: slot k+1 while k+1 < count, else slot 0
             wrap = count <= k + 1
-            if k + 1 < MAXP:
+            if k + 1 < n:
                 nx = jnp.where(wrap, px[0], px[k + 1])
                 ny = jnp.where(wrap, py[0], py[k + 1])
-                nz = jnp.where(wrap, pz[0], pz[k + 1])
                 nd = jnp.where(wrap, d[0], d[k + 1])
                 nin = jnp.where(wrap, inside[0], inside[k + 1])
             else:
-                nx, ny, nz, nd, nin = px[0], py[0], pz[0], d[0], inside[0]
+                nx, ny, nd, nin = px[0], py[0], d[0], inside[0]
             denom = d[k] - nd
             denom = jnp.where(jnp.abs(denom) < 1e-14, 1e-14, denom)
             tt = d[k] / denom
@@ -214,30 +220,39 @@ def box_box_lanes(p1, R1, s1, p2, R2, s2, margin=0.0):
             keep_ix = (inside[k] ^ nin) & valid[k]
             cand_x.append(jnp.where(keep_pt, px[k], 0.0))
             cand_y.append(jnp.where(keep_pt, py[k], 0.0))
-            cand_z.append(jnp.where(keep_pt, pz[k], 0.0))
             keep.append(keep_pt)
             cand_x.append(jnp.where(keep_ix, px[k] + tt * (nx - px[k]), 0.0))
             cand_y.append(jnp.where(keep_ix, py[k] + tt * (ny - py[k]), 0.0))
-            cand_z.append(jnp.where(keep_ix, pz[k] + tt * (nz - pz[k]), 0.0))
             keep.append(keep_ix)
 
         # stable masked compaction: dest_c = prefix-count - 1
         run = jnp.zeros_like(count)
         dest = []
-        for c in range(2 * MAXP):
+        for c in range(2 * n):
             run = run + keep[c].astype(run.dtype)
             dest.append(run - 1)
-        npx = [zero] * MAXP
-        npy = [zero] * MAXP
-        npz = [zero] * MAXP
-        for c in range(2 * MAXP):
-            for k in range(MAXP):
+        npx = [zero] * cap
+        npy = [zero] * cap
+        for c in range(2 * n):
+            for k in range(cap):
                 hit = keep[c] & (dest[c] == k)
                 npx[k] = npx[k] + jnp.where(hit, cand_x[c], 0.0)
                 npy[k] = npy[k] + jnp.where(hit, cand_y[c], 0.0)
-                npz[k] = npz[k] + jnp.where(hit, cand_z[c], 0.0)
-        px, py, pz = npx, npy, npz
+        px, py = npx, npy
         count = run
+
+    # recover z on the incident-face plane: [x; y] = c_xy + M [su; sv],
+    # z = c_z + [du_z dv_z] [su; sv], with M the top 2x2 of [du dv]
+    det = du[0] * dv[1] - du[1] * dv[0]
+    det = jnp.where(jnp.abs(det) < _DEG, jnp.where(det < 0, -_DEG, _DEG), det)
+    inv_det = 1.0 / det
+    pz = []
+    for k in range(MAXP):
+        rx = px[k] - center[0]
+        ry = py[k] - center[1]
+        su = (dv[1] * rx - dv[0] * ry) * inv_det
+        sv = (-du[1] * rx + du[0] * ry) * inv_det
+        pz.append(center[2] + du[2] * su + dv[2] * sv)
 
     face_valid = [count > k for k in range(MAXP)]
     face_depth = [nsign * pz[k] - srp[2] for k in range(MAXP)]

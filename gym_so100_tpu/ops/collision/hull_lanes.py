@@ -48,14 +48,18 @@ def _static_hull_tables(m):
     """Per-geom static vertex/AABB tables for the geoms in the hull pair
     list.
 
-    Geoms are ordered small-hulls-first and split into size buckets so the
-    unrolled support chain runs only as deep as each bucket's vertex count
-    (the scene mixes 8-vert boxes with 64-vert decimated arm hulls; one
-    uniform 64-deep chain would waste 2.6x the vertex work).
+    Geoms are ordered by true vertex count and split into one bucket PER
+    DISTINCT COUNT, so every unrolled support chain runs exactly as deep
+    as its geoms need — the builder pads hulls by repeating vertex 0,
+    which can never win a strict `>` comparison, so truncating the chain
+    at the true count is bit-identical to sweeping the padded block (the
+    scene mixes 8-vert boxes with 64-vert decimated arm hulls; a uniform
+    64-deep chain wastes ~4x the vertex work).
 
     Returns (gidx (G,) geom ids in bucket order, buckets [(lo, hi, V)],
-    verts (3, Vmax, G) zero-padded, lcen/lhalf (G, 3), i1/i2 (P,) pair
-    indices into the bucket ordering)."""
+    counts (G,) true vertex counts, verts (3, Vmax, G) zero-padded,
+    lcen/lhalf (G, 3), i1/i2 (P,) pair indices into the bucket
+    ordering)."""
     hulls = m.pairs.hull_box + m.pairs.hull_hull
     gset = sorted({g for p in hulls for g in p})
     vt = np.asarray(m.hull_vertsT, np.float64)  # (3, nblocks*HULL_BLOCK)
@@ -68,17 +72,21 @@ def _static_hull_tables(m):
         diff = np.any(blk != blk[:, :1], axis=0)
         return int(np.max(np.nonzero(diff)[0])) + 1 if diff.any() else 1
 
+    rows_of = {g: m.hull_start[g] // HULL_BLOCK for g in gset}
+    lcen_all = np.asarray(m.hull_lcen)
+    lhalf_all = np.asarray(m.hull_lhalf)
+
     gset = sorted(gset, key=nverts)
     counts = [nverts(g) for g in gset]
     pos_in_set = {g: i for i, g in enumerate(gset)}
 
-    # buckets: consecutive runs padded to the run max, split where the
-    # count at least doubles (keeps the pad waste < 2x within a bucket)
+    # one bucket per distinct vertex count: chains run exactly as deep as
+    # their geoms need (truncation is bit-identical, see docstring)
     buckets = []
     lo = 0
     for i in range(1, len(gset) + 1):
-        if i == len(gset) or counts[i] > 2 * counts[lo]:
-            buckets.append((lo, i, max(counts[lo:i])))
+        if i == len(gset) or counts[i] != counts[lo]:
+            buckets.append((lo, i, counts[lo]))
             lo = i
     Vmax = max(c for c in counts)
     verts = np.zeros((3, Vmax, len(gset)))
@@ -88,23 +96,28 @@ def _static_hull_tables(m):
         # pad by repeating vertex 0 (a phantom vertex inside the hull would
         # corrupt the min-support table; a repeat never changes max or min)
         verts[:, counts[k] :, k] = vt[:, st : st + 1]
-    rows = [m.hull_start[g] // HULL_BLOCK for g in gset]
-    lcen = np.asarray(m.hull_lcen)[rows]
-    lhalf = np.asarray(m.hull_lhalf)[rows]
+    rows = [rows_of[g] for g in gset]
+    lcen = lcen_all[rows]
+    lhalf = lhalf_all[rows]
     i1 = np.asarray([pos_in_set[p[0]] for p in hulls], np.int32)
     i2 = np.asarray([pos_in_set[p[1]] for p in hulls], np.int32)
     gidx = np.asarray(gset, np.int32)
-    return gidx, buckets, verts, lcen, lhalf, i1, i2
+    return gidx, buckets, np.asarray(counts), verts, lcen, lhalf, i1, i2
 
 
-def collide_hulls_lanes(m, d, margin=0.0):
+def collide_hulls_lanes(m, d, margin=0.0, lanes_out=False):
     """All hull pairs for a batched Data (leaves (B, ...)), f32.
 
     Returns (pos (B,P,3), normal (B,P,3), depth (B,P), active (B,P),
     pair_ids (P,)) matching the candidate-chunk contract of the
-    narrowphase driver."""
+    narrowphase driver; with `lanes_out` the spatial fields stay in
+    batch-last lanes form instead (pos/normal as 3-tuples of (P, B),
+    depth/active (P, B), pair_ids a static numpy (P,)) so the p-major
+    selection pipeline never transposes the batch axis."""
     dtype = d.geom_xpos.dtype
-    gidx, buckets, verts_np, lcen_np, lhalf_np, i1, i2 = _static_hull_tables(m)
+    (gidx, buckets, counts_np, verts_np, lcen_np, lhalf_np, i1, i2) = (
+        _static_hull_tables(m)
+    )
     G = gidx.shape[0]
     P = i1.shape[0]
     B = d.geom_xpos.shape[0]
@@ -128,7 +141,7 @@ def collide_hulls_lanes(m, d, margin=0.0):
     dp = sum(Dj[j][:, None, None] * p[j][None] for j in range(3))
 
     # support tables: running max/min over the vertex chain, unrolled per
-    # size bucket (each bucket's chain stops at its own vertex count).
+    # exact-count bucket (bit-identical to the padded-block sweep).
     # verts_np[:, v, lo:hi] is a static row broadcast against (ND, G_b, B).
     smax_parts, smin_parts = [], []
     for lo, hi, V in buckets:
@@ -172,47 +185,74 @@ def collide_hulls_lanes(m, d, margin=0.0):
     ]  # (P, B) world normal 1->2
 
     # --- witness points: extreme vertex of each geom along the winning
-    # direction, recomputed as an unrolled running-select chain ---
+    # direction, recomputed as an unrolled running-select chain that runs
+    # only as deep as each side geom's true vertex count (the old uniform
+    # Vmax=64 chain over every pair side was ~45% of this kernel's flops;
+    # truncation is bit-identical — padding repeats vertex 0, which never
+    # wins a strict `>`).  Pair subsets are static index partitions by
+    # side-geom vertex count, re-assembled by static scatter. ---
     def pair_lanes(arr, idx):
         return arr[idx]  # static gather on leading-axis-free (G, B) -> (P, B)
 
-    Vmax = verts_np.shape[1]
-
     def extreme(idx, sign):
         """argmax_v of sign * (d_local . v) for the pair's geom `idx`."""
-        Rp = [[pair_lanes(R[j][k], idx) for k in range(3)] for j in range(3)]
-        ldk = [
-            sum(nrm[j] * Rp[j][k] for j in range(3)) for k in range(3)
-        ]  # (P, B) local winning direction
-        vxg = np.asarray(verts_np[0][:, idx])  # (Vmax, P) static
-        vyg = np.asarray(verts_np[1][:, idx])
-        vzg = np.asarray(verts_np[2][:, idx])
-        best = sign * (
-            ldk[0] * vxg[0][:, None] + ldk[1] * vyg[0][:, None]
-            + ldk[2] * vzg[0][:, None]
-        )
-        wx = jnp.broadcast_to(jnp.asarray(vxg[0], dtype)[:, None], best.shape)
-        wy = jnp.broadcast_to(jnp.asarray(vyg[0], dtype)[:, None], best.shape)
-        wz = jnp.broadcast_to(jnp.asarray(vzg[0], dtype)[:, None], best.shape)
-        for v in range(1, Vmax):
-            s = sign * (
-                ldk[0] * vxg[v][:, None] + ldk[1] * vyg[v][:, None]
-                + ldk[2] * vzg[v][:, None]
+        side_counts = counts_np[idx]               # (P,) static
+
+        def witness_group(sub, V):
+            """Rp, local witness (wx, wy, wz) for the pair subset `sub`."""
+            gsub = idx[sub]                        # geom table positions
+            Rp = [
+                [pair_lanes(R[j][k], gsub) for k in range(3)]
+                for j in range(3)
+            ]
+            ldk = [
+                sum(sign * nrm[j][sub] * Rp[j][k] for j in range(3))
+                for k in range(3)
+            ]  # (Ps, B) local direction (scalar sign folded in)
+            vxg = np.asarray(verts_np[0][:, gsub])  # (Vmax, Ps) static
+            vyg = np.asarray(verts_np[1][:, gsub])
+            vzg = np.asarray(verts_np[2][:, gsub])
+            best = (
+                ldk[0] * vxg[0][:, None] + ldk[1] * vyg[0][:, None]
+                + ldk[2] * vzg[0][:, None]
             )
-            better = s > best
-            best = jnp.where(better, s, best)
-            wx = jnp.where(better, jnp.asarray(vxg[v], dtype)[:, None], wx)
-            wy = jnp.where(better, jnp.asarray(vyg[v], dtype)[:, None], wy)
-            wz = jnp.where(better, jnp.asarray(vzg[v], dtype)[:, None], wz)
-        # world frame: p + R w
-        px = pair_lanes(p[0], idx)
-        py = pair_lanes(p[1], idx)
-        pz = pair_lanes(p[2], idx)
-        return (
-            px + Rp[0][0] * wx + Rp[0][1] * wy + Rp[0][2] * wz,
-            py + Rp[1][0] * wx + Rp[1][1] * wy + Rp[1][2] * wz,
-            pz + Rp[2][0] * wx + Rp[2][1] * wy + Rp[2][2] * wz,
-        )
+            wx = jnp.broadcast_to(
+                jnp.asarray(vxg[0], dtype)[:, None], best.shape
+            )
+            wy = jnp.broadcast_to(
+                jnp.asarray(vyg[0], dtype)[:, None], best.shape
+            )
+            wz = jnp.broadcast_to(
+                jnp.asarray(vzg[0], dtype)[:, None], best.shape
+            )
+            for v in range(1, V):
+                s = (
+                    ldk[0] * vxg[v][:, None] + ldk[1] * vyg[v][:, None]
+                    + ldk[2] * vzg[v][:, None]
+                )
+                better = s > best
+                best = jnp.where(better, s, best)
+                wx = jnp.where(better, jnp.asarray(vxg[v], dtype)[:, None], wx)
+                wy = jnp.where(better, jnp.asarray(vyg[v], dtype)[:, None], wy)
+                wz = jnp.where(better, jnp.asarray(vzg[v], dtype)[:, None], wz)
+            return Rp, [wx, wy, wz]
+
+        out = [jnp.zeros((P, B), dtype) for _ in range(3)]
+        for V in sorted(set(side_counts.tolist())):
+            sub = np.nonzero(side_counts == V)[0]
+            Rp, w = witness_group(sub, V)
+            gsub = idx[sub]
+            pxs = pair_lanes(p[0], gsub)
+            pys = pair_lanes(p[1], gsub)
+            pzs = pair_lanes(p[2], gsub)
+            world = (
+                pxs + Rp[0][0] * w[0] + Rp[0][1] * w[1] + Rp[0][2] * w[2],
+                pys + Rp[1][0] * w[0] + Rp[1][1] * w[1] + Rp[1][2] * w[2],
+                pzs + Rp[2][0] * w[0] + Rp[2][1] * w[1] + Rp[2][2] * w[2],
+            )
+            for k in range(3):
+                out[k] = out[k].at[sub].set(world[k])
+        return tuple(out)
 
     a = extreme(i1, 1.0)    # max of geom1 along +d
     b = extreme(i2, -1.0)   # min of geom2 along +d
@@ -240,6 +280,10 @@ def collide_hulls_lanes(m, d, margin=0.0):
         ov = e if ov is None else jnp.minimum(ov, e)
 
     active = (depth < margin) & (ov > 0)         # (P, B)
+
+    if lanes_out:
+        pair_ids_np = len(m.pairs.box_box) + np.arange(P, dtype=np.int32)
+        return tuple(pos), tuple(nrm), depth, active, pair_ids_np
 
     # --- AoS exports (B, P, ...) for the candidate concat ---
     pos_b = jnp.stack([jnp.transpose(c) for c in pos], axis=-1)

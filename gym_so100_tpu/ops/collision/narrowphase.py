@@ -426,6 +426,275 @@ def collide_batched(m: Model, d: Data) -> Contact:
     )
 
 
+def _pair_tables_np(m: Model):
+    """Static per-pair constant tables (trace-time numpy)."""
+    from .. import constraint as constraint_mod
+
+    all_pairs = m.pairs.box_box + m.pairs.hull_box + m.pairs.hull_hull
+    npairs = len(all_pairs)
+    pair_geom_np = np.asarray([list(p) for p in all_pairs], np.int32)
+    gb_np = np.asarray(m.geom_bodyid, np.int32)
+    b1_np = gb_np[pair_geom_np[:, 0]]
+    b2_np = gb_np[pair_geom_np[:, 1]]
+    masks_np = np.asarray(constraint_mod._body_dof_masks(m))  # (nbody, nv)
+    dmask_np = masks_np[b2_np] - masks_np[b1_np]              # (npairs, nv)
+    binv_np = np.asarray(m.body_invweight0)[:, 0]
+    invw_np = binv_np[b1_np] + binv_np[b2_np]                 # (npairs,)
+    return dict(
+        npairs=npairs,
+        pair_geom=pair_geom_np,
+        fric=np.asarray(m.pair_friction)[:npairs],
+        solref=np.asarray(m.pair_solref)[:npairs],
+        solimp=np.asarray(m.pair_solimp)[:npairs],
+        condim=np.asarray(m.pair_condim, np.int32)[:npairs],
+        dmask=dmask_np,
+        invw=invw_np,
+    )
+
+
+def _make_frame_lanes(nx, ny, nz):
+    """Contact frame rows from normal components (each (K, B)): lanes form
+    of `_make_frame` (mju_makeFrame convention, identical tie order)."""
+    ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+    # argmin-first over (|nx|, |ny|, |nz|): x wins ties with y and z; y
+    # wins ties with z
+    use_x = (ax <= ay) & (ax <= az)
+    use_y = ~use_x & (ay <= az)
+    # t1 = aux x n for aux in {ex, ey, ez}:
+    #   ex x n = (0, -nz, ny); ey x n = (nz, 0, -nx); ez x n = (-ny, nx, 0)
+    zero = jnp.zeros_like(nx)
+    t1x = jnp.where(use_x, zero, jnp.where(use_y, nz, -ny))
+    t1y = jnp.where(use_x, -nz, jnp.where(use_y, zero, nx))
+    t1z = jnp.where(use_x, ny, jnp.where(use_y, -nx, zero))
+    nrm = jnp.sqrt(t1x * t1x + t1y * t1y + t1z * t1z)
+    inv = 1.0 / jnp.maximum(nrm, 1e-12)
+    t1x, t1y, t1z = t1x * inv, t1y * inv, t1z * inv
+    t2x = ny * t1z - nz * t1y
+    t2y = nz * t1x - nx * t1z
+    t2z = nx * t1y - ny * t1x
+    return ((nx, ny, nz), (t1x, t1y, t1z), (t2x, t2y, t2z))
+
+
+def contact_to_lanes(m: Model, con: Contact):
+    """Convert a batch-first Contact (fields (B, K, ...)) to ContactLanes —
+    the compatibility path for the f64 parity pipeline, where the AoS
+    collide_batched (top_k ordering, exact GJK/EPA hulls) stays the
+    source of truth.  When the per-contact statics (dof_dmask/invw_diag)
+    are absent they are derived from the geom ids by index gathers (fine
+    off the hot path)."""
+    from ...models.scene import ContactLanes
+
+    T = lambda a: jnp.moveaxis(a, 0, -1)
+    nv = m.nv
+    dtype = con.dist.dtype
+    fr = [[T(con.frame[..., r, c]) for c in range(3)] for r in range(3)]
+    if con.dof_dmask is not None:
+        dof_dmask = tuple(T(con.dof_dmask[..., v]) for v in range(nv))
+        invw_diag = T(con.invw_diag)
+    else:
+        from .. import constraint as constraint_mod
+
+        gb = jnp.asarray(m.geom_bodyid, jnp.int32)
+        b1i = T(gb[con.geom1])
+        b2i = T(gb[con.geom2])
+        masks = constraint_mod._body_dof_masks(m)        # numpy (nbody, nv)
+        mcols = [jnp.asarray(masks[:, v], dtype) for v in range(nv)]
+        dof_dmask = tuple(mcols[v][b2i] - mcols[v][b1i] for v in range(nv))
+        binv = m.body_invweight0[:, 0]
+        invw_diag = binv[b1i] + binv[b2i]
+    if con.ncand is not None:
+        ncand = con.ncand
+    else:
+        ncand = jnp.sum(con.active, axis=-1).astype(jnp.int32)
+    return ContactLanes(
+        dist=T(con.dist),
+        pos=tuple(T(con.pos[..., c]) for c in range(3)),
+        frame=tuple(tuple(r) for r in fr),
+        friction0=T(con.friction[..., 0]),
+        friction1=T(con.friction[..., 1]),
+        solref0=T(con.solref[..., 0]),
+        solref1=T(con.solref[..., 1]),
+        solimp=tuple(T(con.solimp[..., c]) for c in range(5)),
+        geom1=T(con.geom1),
+        geom2=T(con.geom2),
+        condim=T(con.condim),
+        active=T(con.active),
+        dof_dmask=dof_dmask,
+        invw_diag=invw_diag,
+        ncand=ncand,
+    )
+
+
+def collide_batched_lanes(m: Model, d: Data):
+    """Batched narrowphase, batch-last lanes end-to-end: candidates stay
+    (M, B) with B minor from the kernels through the deepest-K selection,
+    and the selected Contact is returned as ContactLanes (fields (K, B))
+    feeding constraint assembly with no transposes.
+
+    Selection semantics are identical to `collide_batched` (pair-major
+    slot-minor candidate order, argmin-first ties); the AoS driver's
+    (B, P, K) stack/reshape assembly — measured ~53 ms per control step at
+    B=4096 — disappears because the box-box lanes kernel is fed p-major
+    inputs directly.  f64 falls back to the AoS top_k path (bit-stable
+    parity ordering) converted by `contact_to_lanes`."""
+    from ...models.scene import ContactLanes
+
+    dtype = d.geom_xpos.dtype
+    if dtype == jnp.float64:
+        return contact_to_lanes(m, collide_batched(m, d))
+    B = d.geom_xpos.shape[0]
+
+    dep_l, act_l, px_l, py_l, pz_l, nx_l, ny_l, nz_l, row_l = (
+        [], [], [], [], [], [], [], [], []
+    )
+
+    bb = m.pairs.box_box
+    if bb:
+        g1 = jnp.asarray([p[0] for p in bb], jnp.int32)
+        g2 = jnp.asarray([p[1] for p in bb], jnp.int32)
+        P, K = len(bb), boxbox.MAXP
+
+        def comps_vec(a):  # (B, P, 3) -> 3 x (P, B)
+            return tuple(a[..., i].T for i in range(3))
+
+        def comps_mat(a):  # (B, P, 3, 3) -> 3x3 x (P, B)
+            return tuple(
+                tuple(a[..., i, j].T for j in range(3)) for i in range(3)
+            )
+
+        def comps_size(sz):  # (P, 3) -> 3 x (P, B) broadcast
+            return tuple(
+                jnp.broadcast_to(sz[:, i][:, None], (P, B)) for i in range(3)
+            )
+
+        out = boxbox_lanes.box_box_lanes(
+            comps_vec(d.geom_xpos[:, g1]),
+            comps_mat(d.geom_xmat[:, g1]),
+            comps_size(m.geom_size[g1]),
+            comps_vec(d.geom_xpos[:, g2]),
+            comps_mat(d.geom_xmat[:, g2]),
+            comps_size(m.geom_size[g2]),
+        )
+        # pair-major slot-minor candidate rows, matching the AoS driver's
+        # flattened order: row p*K + k
+        stackPK = lambda parts: jnp.stack(parts, axis=1).reshape(P * K, B)
+        dep_l.append(stackPK(out["depth"]))
+        act_l.append(stackPK(out["active"]))
+        px_l.append(stackPK([pk[0] for pk in out["pos"]]))
+        py_l.append(stackPK([pk[1] for pk in out["pos"]]))
+        pz_l.append(stackPK([pk[2] for pk in out["pos"]]))
+        for comp, lst in zip(out["normal"], (nx_l, ny_l, nz_l)):
+            lst.append(
+                jnp.broadcast_to(comp[:, None, :], (P, K, B)).reshape(P * K, B)
+            )
+        row_l.append(np.repeat(np.arange(P, dtype=np.int32), K))
+
+    hulls = m.pairs.hull_box + m.pairs.hull_hull
+    if hulls:
+        from . import hull_lanes
+
+        hpos, hnrm, hdep, hact, hrow = hull_lanes.collide_hulls_lanes(
+            m, d, lanes_out=True
+        )
+        dep_l.append(hdep)
+        act_l.append(hact)
+        px_l.append(hpos[0]); py_l.append(hpos[1]); pz_l.append(hpos[2])
+        nx_l.append(hnrm[0]); ny_l.append(hnrm[1]); nz_l.append(hnrm[2])
+        row_l.append(hrow)
+
+    depth = jnp.concatenate(dep_l, axis=0)        # (M, B)
+    active = jnp.concatenate(act_l, axis=0)
+    px = jnp.concatenate(px_l, axis=0)
+    py = jnp.concatenate(py_l, axis=0)
+    pz = jnp.concatenate(pz_l, axis=0)
+    nx = jnp.concatenate(nx_l, axis=0)
+    ny = jnp.concatenate(ny_l, axis=0)
+    nz = jnp.concatenate(nz_l, axis=0)
+    rows_np = np.concatenate(row_l)               # (M,) static pair row ids
+    M = depth.shape[0]
+    K = m.max_contacts
+
+    key = jnp.where(active & jnp.isfinite(depth), depth, jnp.inf)
+    ncand = jnp.sum(active & jnp.isfinite(depth), axis=0).astype(jnp.int32)
+
+    tbl = _pair_tables_np(m)
+    npairs = tbl["npairs"]
+    rowt = jnp.asarray(rows_np, jnp.int32)[:, None]          # (M, 1)
+    iota = jnp.arange(M, dtype=jnp.int32)[:, None]           # (M, 1)
+    piota = jnp.arange(npairs, dtype=jnp.int32)[:, None]     # (npairs, 1)
+
+    sel_dist, sel_px, sel_py, sel_pz = [], [], [], []
+    sel_nx, sel_ny, sel_nz = [], [], []
+    sel_act, sel_pair = [], []
+    k = key
+    for _ in range(K):
+        i = jnp.argmin(k, axis=0)                            # (B,)
+        mask = iota == i[None]                               # (M, B)
+        k = jnp.where(mask, jnp.inf, k)
+        selF = lambda a: jnp.sum(jnp.where(mask, a, 0), axis=0)
+        sel_dist.append(selF(depth))
+        sel_px.append(selF(px)); sel_py.append(selF(py)); sel_pz.append(selF(pz))
+        sel_nx.append(selF(nx)); sel_ny.append(selF(ny)); sel_nz.append(selF(nz))
+        sel_act.append(jnp.any(mask & active, axis=0))
+        sel_pair.append(
+            jnp.sum(jnp.where(mask, rowt, 0), axis=0).astype(jnp.int32)
+        )
+
+    st = lambda parts: jnp.stack(parts, axis=0)              # -> (K, B)
+    act = st(sel_act)
+    dist = jnp.where(act, st(sel_dist), 0.0)
+    ez_fill = lambda comps, fill: jnp.where(act, st(comps), fill)
+    posx = ez_fill(sel_px, 0.0)
+    posy = ez_fill(sel_py, 0.0)
+    posz = ez_fill(sel_pz, 0.0)
+    nxs = ez_fill(sel_nx, 0.0)
+    nys = ez_fill(sel_ny, 0.0)
+    nzs = ez_fill(sel_nz, 1.0)                               # inactive -> ez
+
+    # static-table selection by pair one-hot, one (npairs, B) mask per slot
+    pair_k = st(sel_pair)                                    # (K, B)
+    g1_t, g2_t, cd_t = [], [], []
+    f0_t, f1_t, sr0_t, sr1_t, iw_t = [], [], [], [], []
+    si_t = [[] for _ in range(5)]
+    dm_t = [[] for _ in range(tbl["dmask"].shape[1])]
+    for kk in range(K):
+        Sp = pair_k[kk][None, :] == piota                    # (npairs, B)
+        selT = lambda col: jnp.sum(
+            jnp.where(Sp, jnp.asarray(col)[:, None], 0), axis=0
+        )
+        g1_t.append(selT(tbl["pair_geom"][:, 0]))
+        g2_t.append(selT(tbl["pair_geom"][:, 1]))
+        cd_t.append(selT(tbl["condim"]))
+        f0_t.append(selT(tbl["fric"][:, 0].astype(dtype)))
+        f1_t.append(selT(tbl["fric"][:, 1].astype(dtype)))
+        sr0_t.append(selT(tbl["solref"][:, 0].astype(dtype)))
+        sr1_t.append(selT(tbl["solref"][:, 1].astype(dtype)))
+        iw_t.append(selT(tbl["invw"].astype(dtype)))
+        for c in range(5):
+            si_t[c].append(selT(tbl["solimp"][:, c].astype(dtype)))
+        for v in range(len(dm_t)):
+            dm_t[v].append(selT(tbl["dmask"][:, v].astype(dtype)))
+
+    frame = _make_frame_lanes(nxs, nys, nzs)
+    return ContactLanes(
+        dist=dist,
+        pos=(posx, posy, posz),
+        frame=frame,
+        friction0=st(f0_t),
+        friction1=st(f1_t),
+        solref0=st(sr0_t),
+        solref1=st(sr1_t),
+        solimp=tuple(st(si_t[c]) for c in range(5)),
+        geom1=st(g1_t),
+        geom2=st(g2_t),
+        condim=st(cd_t),
+        active=act,
+        dof_dmask=tuple(st(dm_t[v]) for v in range(len(dm_t))),
+        invw_diag=st(iw_t),
+        ncand=ncand,
+    )
+
+
 def _quat_mat(q):
     w, x, y, z = q[0], q[1], q[2], q[3]
     return jnp.stack([

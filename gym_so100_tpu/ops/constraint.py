@@ -72,12 +72,8 @@ jax.tree_util.register_dataclass(
 )
 
 
-def impedance(solimp, pos):
-    """MuJoCo constraint impedance d(pos) from solimp."""
-    d0, dw, width, mid, power = (
-        solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3],
-        solimp[..., 4],
-    )
+def impedance_comps(d0, dw, width, mid, power, pos):
+    """MuJoCo constraint impedance d(pos), unpacked solimp components."""
     # endpoints are clamped to [MINIMP, MAXIMP] *before* interpolation
     # (calibrated against mjData.efc_KBIP: imp = clamp(d0) + y*(clamp(dw) -
     # clamp(d0)), with no final clamp)
@@ -91,17 +87,29 @@ def impedance(solimp, pos):
     return d0 + y * (dw - d0)
 
 
-def kb(solref, dmax):
-    """Stiffness/damping (K, B) from solref given max impedance dmax."""
-    tc, dr = solref[..., 0], solref[..., 1]
+def impedance(solimp, pos):
+    """MuJoCo constraint impedance d(pos) from solimp (components last)."""
+    return impedance_comps(
+        solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3],
+        solimp[..., 4], pos,
+    )
+
+
+def kb_comps(tc, dr, dmax):
+    """Stiffness/damping (K, B) from unpacked solref given max impedance."""
     std = tc > 0
     K_std = 1.0 / jnp.maximum(
         (dmax * tc * dr) ** 2, MINVAL
     )
     B_std = 2.0 / jnp.maximum(dmax * tc, MINVAL)
-    K_dir = -solref[..., 0] / jnp.maximum(dmax * dmax, MINVAL)
-    B_dir = -solref[..., 1] / jnp.maximum(dmax, MINVAL)
+    K_dir = -tc / jnp.maximum(dmax * dmax, MINVAL)
+    B_dir = -dr / jnp.maximum(dmax, MINVAL)
     return jnp.where(std, K_std, K_dir), jnp.where(std, B_std, B_dir)
+
+
+def kb(solref, dmax):
+    """Stiffness/damping (K, B) from solref given max impedance dmax."""
+    return kb_comps(solref[..., 0], solref[..., 1], dmax)
 
 
 def _body_dof_masks(m: Model):

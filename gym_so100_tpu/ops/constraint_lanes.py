@@ -41,10 +41,11 @@ from .constraint import (
     CDIM,
     MINVAL,
     Efc,
-    _body_dof_masks,
     equality_rows,
     impedance,
+    impedance_comps,
     kb,
+    kb_comps,
 )
 
 
@@ -83,12 +84,21 @@ jax.tree_util.register_dataclass(
 
 
 def make_efc_lanes(m: Model, d: Data, s: State, con: Contact) -> EfcLanes:
-    """Batched make_efc in lanes form: d/s/con carry a leading env axis B;
-    the result's arrays are batch-LAST.  Feed to solver_lanes.solve_lanes."""
+    """Batched make_efc from a batch-first Contact: converts to lanes form
+    first (compat entry for tests/the f64 pipeline)."""
+    from .collision.narrowphase import contact_to_lanes
+
+    return make_efc_from_lanes(m, d, s, contact_to_lanes(m, con))
+
+
+def make_efc_from_lanes(m: Model, d: Data, s: State, cl) -> EfcLanes:
+    """Batched make_efc in lanes form: d/s carry a leading env axis B, the
+    contact buffer arrives as ContactLanes (fields already (K, B)) and the
+    result's arrays are batch-LAST.  Feed to solver_lanes.solve_lanes."""
     dtype = s.qpos.dtype
     nv = m.nv
     B = s.qpos.shape[0]
-    K = con.dist.shape[1]
+    K = cl.dist.shape[0]
 
     Jv = [[] for _ in range(nv)]   # per-dof row blocks, each (n, B)
     arefs, Ds, Rs, poss = [], [], [], []
@@ -169,11 +179,10 @@ def make_efc_lanes(m: Model, d: Data, s: State, con: Contact) -> EfcLanes:
         Rs.append(R.astype(dtype))
         poss.append(dist)
 
-    # ---- contact rows: lanes form ----
-    T = lambda a: jnp.moveaxis(a, 0, -1)           # (B, K, ...) -> (K, ..., B)
-    dist = T(con.dist)                             # (K, B)
-    px, py, pz = (T(con.pos[..., c]) for c in range(3))
-    fr = [[T(con.frame[..., r, c]) for c in range(3)] for r in range(3)]
+    # ---- contact rows: lanes form (ContactLanes components are (K, B)) ----
+    dist = cl.dist                                 # (K, B)
+    px, py, pz = cl.pos
+    fr = cl.frame
 
     cd = jnp.moveaxis(d.cdof, 0, -1)               # (nv, 6, B)
     ang = [[cd[v, c] for c in range(3)] for v in range(nv)]
@@ -181,17 +190,9 @@ def make_efc_lanes(m: Model, d: Data, s: State, con: Contact) -> EfcLanes:
     com = d.subtree_com[:, 0]                      # (B, 3) root com
     off = [px - com[:, 0], py - com[:, 1], pz - com[:, 2]]
 
-    if con.dof_dmask is not None:
-        # precomputed by the batched narrowphase (one-hot selected static
-        # table — no (K, B)-indexed gather; PERF_NOTES "round 3")
-        dmk = [T(con.dof_dmask[..., v]) for v in range(nv)]
-    else:
-        gb = jnp.asarray(m.geom_bodyid, jnp.int32)
-        b1i = T(gb[con.geom1])                     # (K, B) int
-        b2i = T(gb[con.geom2])
-        masks = _body_dof_masks(m)                 # numpy (nbody, nv)
-        mcols = [jnp.asarray(masks[:, v], dtype) for v in range(nv)]
-        dmk = [mcols[v][b2i] - mcols[v][b1i] for v in range(nv)]
+    # precomputed by the narrowphase (one-hot selected static table — no
+    # (K, B)-indexed gather; PERF_NOTES "round 3")
+    dmk = list(cl.dof_dmask)
 
     Jrows = [[None] * nv for _ in range(CDIM)]     # [row][v] -> (K, B)
     for v in range(nv):
@@ -209,10 +210,8 @@ def make_efc_lanes(m: Model, d: Data, s: State, con: Contact) -> EfcLanes:
     qv = [s.qvel[:, v] for v in range(nv)]
     vel = [sum(Jrows[r][v] * qv[v] for v in range(nv)) for r in range(CDIM)]
 
-    solimp = jnp.moveaxis(jnp.moveaxis(con.solimp, 0, -1), 1, -1)  # (K, B, 5)
-    imp = impedance(solimp, dist)                  # (K, B)
-    solref = jnp.moveaxis(jnp.moveaxis(con.solref, 0, -1), 1, -1)  # (K, B, 2)
-    Kk, Bk = kb(solref, solimp[..., 1])
+    imp = impedance_comps(*cl.solimp, dist)        # (K, B)
+    Kk, Bk = kb_comps(cl.solref0, cl.solref1, cl.solimp[1])
     aref = [
         -Bk * vel[0] - Kk * imp * dist,
         -Bk * vel[1],
@@ -220,22 +219,17 @@ def make_efc_lanes(m: Model, d: Data, s: State, con: Contact) -> EfcLanes:
         -Bk * vel[3],
     ]
 
-    if con.invw_diag is not None:
-        diag = T(con.invw_diag)
-    else:
-        gb = jnp.asarray(m.geom_bodyid, jnp.int32)
-        binv = m.body_invweight0[:, 0]
-        diag = binv[T(gb[con.geom1])] + binv[T(gb[con.geom2])]
+    diag = cl.invw_diag
     Rn = jnp.maximum(MINVAL, (1 - imp) / imp * diag)
     Dn = 1.0 / Rn
     ip = jnp.asarray(m.impratio, dtype)
-    fric0 = T(con.friction[..., 0])
-    fric1 = T(con.friction[..., 1])
+    fric0 = cl.friction0
+    fric1 = cl.friction1
     mu0 = jnp.maximum(fric0, MINVAL)
-    has_tor = T(con.condim) >= 4
+    has_tor = cl.condim >= 4
     mus = [fric0, fric0, jnp.where(has_tor, fric1, 0.0)]
     Drows = [Dn] + [Dn * ip * (mu / mu0) ** 2 for mu in mus]
-    active = T(con.active) & (dist < 0)
+    active = cl.active & (dist < 0)
     Drows = [Dr * active for Dr in Drows]
     mu = fric0 / jnp.sqrt(ip)
     uscale = [jnp.ones_like(fric0)] + [mu_ * jnp.sqrt(ip) / mu0 for mu_ in mus]

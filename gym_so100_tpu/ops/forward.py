@@ -15,7 +15,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..models.scene import Data, Model, State
+from ..models.scene import Contact, Data, Model, State
 from . import constraint as constraint_mod
 from . import smooth
 from . import solver as solver_mod
@@ -94,13 +94,20 @@ def forward_batched(m: Model, s: State) -> Data:
         qfrc_smooth=sl["qfrc_smooth"],
     )
     with jax.named_scope("collide"):
-        con = narrowphase.collide_batched(m, d)
-    d = d.replace(contact=con)
+        cl = narrowphase.collide_batched_lanes(m, d)
+    # Contact buffer stays in lanes form end-to-end; Data carries only the
+    # candidate count (the downstream consumers of contact are constraint
+    # assembly — fed ContactLanes directly — and the saturation watch)
+    d = d.replace(contact=Contact(
+        dist=None, pos=None, frame=None, friction=None, solref=None,
+        solimp=None, geom1=None, geom2=None, condim=None, active=None,
+        ncand=cl.ncand,
+    ))
 
     with jax.named_scope("efc"):
         from . import constraint_lanes
 
-        efc = constraint_lanes.make_efc_lanes(m, d, s, con)
+        efc = constraint_lanes.make_efc_from_lanes(m, d, s, cl)
 
     with jax.named_scope("solve"):
         from . import solver_lanes
@@ -121,19 +128,26 @@ def step_batched(m: Model, s: State) -> tuple[State, Data]:
     return s2, d
 
 
-def n_steps_batched(m: Model, s: State, n: int) -> State:
+def n_steps_batched(m: Model, s: State, n: int):
+    """n physics substeps; returns (final State, ncon (B,) int32) where
+    ncon is the max active narrowphase-candidate count over the substeps
+    (the contact-buffer saturation watch surfaced as info["ncon"])."""
     # GST_SUBSTEP_UNROLL unrolls the substep scan (measured at B=4096
     # hulls-on: NO throughput change vs the while-loop form — the hot cost
     # is serialized small-table gathers inside the body, not loop-carry
     # staging — but compile time grows ~3x, so the scan stays the default).
     unroll = int(os.environ.get("GST_SUBSTEP_UNROLL", "1"))
 
-    def body(s, _):
-        s2, _ = step_batched(m, s)
-        return s2, None
+    def body(carry, _):
+        s, nc = carry
+        s2, d = step_batched(m, s)
+        return (s2, jnp.maximum(nc, d.contact.ncand)), None
 
-    s_final, _ = jax.lax.scan(body, s, None, length=n, unroll=min(unroll, n))
-    return s_final
+    nc0 = jnp.zeros(s.qpos.shape[:-1], jnp.int32)
+    (s_final, ncon), _ = jax.lax.scan(
+        body, (s, nc0), None, length=n, unroll=min(unroll, n)
+    )
+    return s_final, ncon
 
 
 def position_stage_batched(m: Model, s: State) -> Data:

@@ -140,7 +140,7 @@ class BatchedEnv:
                 "agent_pos": es3.physics.qpos[:, :6].astype(jnp.float32),
             }
             return es3, obs_out, reward, terminated, truncated, {
-                "final_obs": final_obs, "ncon": d.contact.ncand,
+                "final_obs": final_obs, "ncon": d.ncon,
             }
 
         final_obs = self._obs_vector(obs)
@@ -162,7 +162,7 @@ class BatchedEnv:
         # saturated and shallow contacts were dropped (observable, not
         # silent; trainers log the running max)
         return es3, obs_out, reward, terminated, truncated, {
-            "final_obs": final_obs, "ncon": d.contact.ncand,
+            "final_obs": final_obs, "ncon": d.ncon,
         }
 
     # -- public API ----------------------------------------------------------

@@ -45,7 +45,7 @@ def _settled():
         qpos=jnp.asarray(qpos),
         ctrl=jnp.asarray(rng.uniform(-0.5, 0.5, (B, m.nu))),
     )
-    s = jax.jit(lambda s: fwd.n_steps_batched(m, s, 50))(s)
+    s = jax.jit(lambda s: fwd.n_steps_batched(m, s, 50)[0])(s)
     return m, s
 
 

@@ -185,3 +185,70 @@ def test_step_batched_matches_vmap(model64):
         np.testing.assert_allclose(
             np.asarray(rew_a), np.asarray(rew_b), atol=1e-6
         )
+
+
+def test_collide_batched_lanes_matches_aos_f32():
+    """f32 p-major selection pipeline vs the AoS one-hot driver.
+
+    `collide_batched_lanes` (candidates (M, B) end-to-end, argmin-first
+    one-hot selection, pair one-hot static tables) must reproduce
+    `collide_batched`'s Contact exactly: same kernels, same candidate
+    order, same tie rules — only the layout differs.  Covers the f32
+    selection branch end-to-end (ADVICE r3: the one-hot selection had no
+    independent f32 test)."""
+    m, _ = build_model(XML, max_contacts=16)
+    m = m.astype(jnp.float32)
+    B = 16
+    rng = np.random.RandomState(7)
+    s = fwd.make_state(m, dtype=jnp.float32)
+    qpos = np.tile(np.asarray(s.qpos), (B, 1))
+    qpos[:, :6] += rng.uniform(-1.2, 1.2, (B, 6))
+    qpos[:, 6:9] += rng.uniform(-0.08, 0.08, (B, 3))
+    quat = rng.randn(B, 4)
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    qpos[:, 9:13] = quat
+    sb = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B, *a.shape)), s
+    ).replace(qpos=jnp.asarray(qpos, jnp.float32))
+
+    from gym_so100_tpu.ops import smooth
+
+    d = jax.vmap(lambda s1: smooth.kinematics(m, s1))(sb)
+    con = jax.jit(lambda d: narrowphase.collide_batched(m, d))(d)
+    cl = jax.jit(lambda d: narrowphase.collide_batched_lanes(m, d))(d)
+
+    T = lambda a: np.moveaxis(np.asarray(a), 0, -1)  # (B, K,...) -> (K,...,B)
+    assert np.asarray(cl.ncand).shape == (B,)
+    np.testing.assert_array_equal(np.asarray(cl.ncand), np.asarray(con.ncand))
+    np.testing.assert_array_equal(np.asarray(cl.active), T(con.active))
+    np.testing.assert_array_equal(np.asarray(cl.geom1), T(con.geom1))
+    np.testing.assert_array_equal(np.asarray(cl.geom2), T(con.geom2))
+    np.testing.assert_array_equal(np.asarray(cl.condim), T(con.condim))
+    np.testing.assert_allclose(
+        np.asarray(cl.dist), T(con.dist), rtol=1e-6, atol=1e-7
+    )
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(cl.pos[c]), T(con.pos[..., c]), rtol=1e-6, atol=1e-6
+        )
+        for r in range(3):
+            np.testing.assert_allclose(
+                np.asarray(cl.frame[r][c]), T(con.frame[..., r, c]),
+                rtol=1e-5, atol=1e-6,
+            )
+    np.testing.assert_allclose(
+        np.asarray(cl.friction0), T(con.friction[..., 0]), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(cl.solref0), T(con.solref[..., 0]), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(cl.invw_diag), T(con.invw_diag), rtol=1e-6, atol=1e-7
+    )
+    nv = m.nv
+    for v in range(nv):
+        np.testing.assert_array_equal(
+            np.asarray(cl.dof_dmask[v]), T(con.dof_dmask[..., v])
+        )
+    # there are real contacts in this batch (cube near table)
+    assert np.asarray(cl.active).any()

@@ -66,7 +66,7 @@ WORKER = textwrap.dedent(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), s
     )
     sb = dist.shard_env(sb, mesh)  # env axis split across BOTH processes
-    out = jax.jit(lambda s: fwd.n_steps_batched(m, s, 2))(sb)
+    out = jax.jit(lambda s: fwd.n_steps_batched(m, s, 2)[0])(sb)
     qz = float(jnp.mean(out.qpos[:, 2]))  # cross-process fetch
     assert 0.015 < qz < 0.025, qz  # cube still resting on the table
 
