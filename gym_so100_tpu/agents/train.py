@@ -115,6 +115,14 @@ class Trainer:
         st, metrics = self.sac.train_step(
             st, obs, acts, rew, info["final_obs"], term
         )
+        # update-to-data ratio: utd gradient updates per env-batch step
+        # (the reference's SB3 loop does gradient_steps == env steps per
+        # worker; utd recovers a comparable ratio at large num_envs)
+        for _ in range(self.tcfg.utd - 1):
+            key, sub = jax.random.split(st.key)
+            st = dataclasses.replace(st, key=key)
+            batch = st.buffer.sample(sub, self.sac.cfg.batch_size)
+            st, metrics = self.sac.update(st, batch)
         # contact-buffer saturation watch: max active narrowphase candidates
         # this step; values at/above model.max_contacts mean the fixed K
         # buffer clipped real contacts (ADVICE r3: make overflow observable)

@@ -50,17 +50,54 @@ class CartesianBatchedEnv:
     """
 
     def __init__(self, m: Model, num_envs: int, task: str = "so100_touch_cube",
-                 max_episode_steps: int = 300):
+                 max_episode_steps: int = 300, orientation_mode: str = "follow",
+                 weld_gain: bool = True):
+        """weld_gain: stiffen the weld on this env's model copy (solimp
+        0.95/0.995, solref timeconst 0.01) so the target actually drags
+        the arm — with the raw XML weld (solimp 0.9/0.95, solref 0.02)
+        MuJoCo itself lags ~3.6 cm behind a 4 cm drag (gravity wins; the
+        oracle-anchored measurement is in tests/test_oracle_weld.py:72),
+        which is unusable as a control interface.  False keeps the
+        reference scene's weld untouched.
+
+        orientation_mode:
+        * "follow" (default): the mocap quat tracks the CURRENT ee
+          orientation each control step, so the weld's 3 rotation rows
+          only damp wrist motion and its 3 translation rows do a feasible
+          3-constraints-on-5-DoF position IK.  Holding a fixed target
+          orientation while translating is 6 constraints on 5 arm DoF —
+          generically infeasible, and the least-squares compromise costs
+          ~4 cm of position error per 5 cm commanded.
+        * "fixed": the reset orientation is held (the raw reference teleop
+          behavior; orientation-constrained, position error expected)."""
         if not m.eq_site1:
             raise ValueError(
                 "CartesianBatchedEnv needs a scene with a mocap weld "
                 "(so100_transfer_cube_ee.xml); the joint-space scene has no "
                 "equality rows to drive"
             )
+        if orientation_mode not in ("follow", "fixed"):
+            raise ValueError(orientation_mode)
+        if weld_gain:
+            import dataclasses
+
+            import numpy as np
+
+            si = np.array(np.asarray(m.eq_solimp), copy=True)
+            si[:, 0] = 0.95
+            si[:, 1] = 0.995
+            sr = np.array(np.asarray(m.eq_solref), copy=True)
+            sr[:, 0] = 0.01
+            m = dataclasses.replace(
+                m,
+                eq_solimp=jnp.asarray(si, m.eq_solimp.dtype),
+                eq_solref=jnp.asarray(sr, m.eq_solref.dtype),
+            )
         self.m = m
         self.task = task
         self.num_envs = num_envs
         self.max_episode_steps = max_episode_steps
+        self.orientation_mode = orientation_mode
         self.ids = core.TaskIds.from_model(m)
         self._step = jax.jit(self._step_impl)
         self._reset = jax.jit(self._reset_impl)
@@ -89,13 +126,32 @@ class CartesianBatchedEnv:
         )
 
     def apply_action(self, s, action):
-        """Mocap delta + gripper ctrl delta -> new physics State (pure)."""
+        """Mocap delta + gripper ctrl delta -> new physics State.
+
+        Single-env pure transform (vmapped by the batched step).  The arm
+        servos (ctrl[:5]) track the CURRENT joint positions, so the kp=50
+        position actuators act as pure dampers and the weld is free to
+        place the arm (the reference teleop leaves ctrl at its default,
+        which makes the actuators fight the weld); in "follow" mode the
+        mocap orientation snaps to the current ee orientation (see
+        __init__)."""
+        from ..ops import quat as quat_ops
+
         a = jnp.clip(jnp.asarray(action), -1.0, 1.0).astype(s.qpos.dtype)
-        mocap = s.mocap_pos + (a[..., None, :3] * POS_SCALE)
+        mocap = s.mocap_pos + (a[None, :3] * POS_SCALE)
         jaw = jnp.clip(
-            s.ctrl[..., 5] + a[..., 3] * GRIP_SCALE, JAW_RANGE[0], JAW_RANGE[1]
+            s.ctrl[5] + a[3] * GRIP_SCALE, JAW_RANGE[0], JAW_RANGE[1]
         )
-        return s.replace(mocap_pos=mocap, ctrl=s.ctrl.at[..., 5].set(jaw))
+        ctrl = jnp.concatenate(
+            [s.qpos[:5], jaw[None]], axis=-1
+        ).astype(s.ctrl.dtype)
+        mq = s.mocap_quat
+        if self.orientation_mode == "follow":
+            dd = smooth.kinematics(self.m, s)
+            mq = quat_ops.from_mat(
+                dd.site_xmat[self.ids.ee_site]
+            )[None].astype(mq.dtype)
+        return s.replace(mocap_pos=mocap, ctrl=ctrl, mocap_quat=mq)
 
     # -- batched implementation ----------------------------------------------
 
@@ -104,7 +160,7 @@ class CartesianBatchedEnv:
         return jax.vmap(self.reset_one)(keys)
 
     def _step_impl(self, es, actions):
-        s = self.apply_action(es.physics, actions)
+        s = jax.vmap(self.apply_action)(es.physics, actions)
         s, ncon = fwd.n_steps_batched(self.m, s, C.N_SUBSTEPS)
         d = jax.vmap(lambda s1: smooth.kinematics(self.m, s1))(s)
         tg, tt = core._pair_contact_flags_batched(self.m, d, self.ids)

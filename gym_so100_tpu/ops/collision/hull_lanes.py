@@ -168,21 +168,36 @@ def collide_hulls_lanes(m, d, margin=0.0, lanes_out=False):
     Tbot = jnp.concatenate(smin_parts, axis=1) + dp  # min_x d.x
 
     # --- per-pair overlap: h[d] = maxA(d) - minB(d);  argmin_d picks the
-    # least-overlap (deepest-separating) sampled direction ---
-    H = Ttop[:, i1, :] - Tbot[:, i2, :]          # (ND, P, B)
-    Hmin = jnp.min(H, axis=0)                    # (P, B)
+    # least-overlap (deepest-separating) sampled direction.
+    #
+    # Statically unrolled over the P pairs, each a small fused (ND, B)
+    # slice-subtract-reduce: the one-shot form (`H = Ttop[:, i1] -
+    # Tbot[:, i2]` then min/argmin/one-hot over the (ND, P, B) tensor)
+    # materializes two 266 MB gather expansions plus several full passes
+    # over them — measured ~30 ms per control step of pure HBM traffic at
+    # B=4096.  Per-pair slices are views of the already-materialized
+    # (ND, G, B) tables, so each iteration reads 2 x ND x B floats and
+    # carries only (B,)-sized state.  argmin keeps the first-min tie rule
+    # of the old masked-iota form. ---
+    # (The winning direction's components come from a per-pair one-hot
+    # CONTRACTION, not a gather: jnp.take of the (ND,) direction table by
+    # a (P, B) index array lowers to a serialized TPU gather that alone
+    # cost ~130 ms per control step at B=4096; PERF_NOTES "round 3".)
+    iota1 = jnp.arange(ND, dtype=jnp.int32)[:, None]             # (ND, 1)
+    Hmin_l = []
+    nrm_l = [[], [], []]
+    for pidx in range(P):
+        h = Ttop[:, int(i1[pidx]), :] - Tbot[:, int(i2[pidx]), :]  # (ND, B)
+        Hmin_l.append(jnp.min(h, axis=0))
+        bdp = jnp.argmin(h, axis=0).astype(jnp.int32)            # (B,)
+        oh = iota1 == bdp[None, :]                               # (ND, B)
+        for j in range(3):
+            nrm_l[j].append(
+                jnp.sum(jnp.where(oh, Dj[j][:, None], 0), axis=0)
+            )
+    Hmin = jnp.stack(Hmin_l, axis=0)             # (P, B)
     depth = -Hmin                                # negative when penetrating
-    # winning direction as a one-hot CONTRACTION, not a gather: jnp.take of
-    # the (ND,) direction table by a (P, B) index array lowers to a
-    # serialized TPU gather that alone cost ~130 ms per control step at
-    # B=4096 (25% of the step; see PERF_NOTES "round 3").  First-min index
-    # via a masked iota min matches argmin's tie rule.
-    iota = jnp.arange(ND, dtype=jnp.int32)[:, None, None]
-    bd = jnp.min(jnp.where(H == Hmin[None], iota, ND), axis=0)   # (P, B)
-    onehot = iota == bd[None]                    # (ND, P, B)
-    nrm = [
-        jnp.sum(onehot * Dj[j][:, None, None], axis=0) for j in range(3)
-    ]  # (P, B) world normal 1->2
+    nrm = [jnp.stack(nrm_l[j], axis=0) for j in range(3)]  # (P, B) 1->2
 
     # --- witness points: extreme vertex of each geom along the winning
     # direction, recomputed as an unrolled running-select chain that runs

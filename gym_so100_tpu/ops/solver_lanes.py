@@ -161,6 +161,31 @@ def solve_lanes(m: Model, qM, a0, efc: EfcLanes, warmstart=None):
     dtype = a0.dtype
     nv = a0.shape[-1]
     B = a0.shape[0]
+
+    # Tile-align the contact block: every _cost_terms call slices the row
+    # axis at ns = neq+nf+nl, and TPU (8, 128) tiling makes a misaligned
+    # major-axis slice a relayout copy — paid ~250x per substep through
+    # the line-search scans.  Pad the scalar block to a multiple of 8 with
+    # always-inactive limit rows (J = 0, D = 0: zero cost/grad/hessian).
+    ns0 = efc.neq + efc.nf + efc.nl
+    pad = (-ns0) % 8
+    if pad:
+        import dataclasses as _dc
+
+        z = jnp.zeros((pad, B), dtype)
+        ins = lambda a: jnp.concatenate([a[:ns0], z, a[ns0:]], axis=0)
+        efc = _dc.replace(
+            efc,
+            J=[ins(Jv) for Jv in efc.J],
+            aref=ins(efc.aref),
+            D=ins(efc.D),
+            R=jnp.concatenate(
+                [efc.R[:ns0], jnp.ones((pad, B), dtype), efc.R[ns0:]], axis=0
+            ),
+            pos=ins(efc.pos),
+            nl=efc.nl + pad,
+        )
+
     a0l = [a0[:, i] for i in range(nv)]
     J = efc.J
 
@@ -185,9 +210,14 @@ def solve_lanes(m: Model, qM, a0, efc: EfcLanes, warmstart=None):
 
     f32 = dtype == jnp.float32
     tol = max(m.solver_tolerance, 64 * float(jnp.finfo(dtype).eps))
-    max_iters = min(m.solver_iterations, 12) if f32 else m.solver_iterations
-    ls_len = 13 if f32 else max(m.ls_iterations, 25)
-    bracket_len = 8 if f32 else 16
+    import os as _os
+
+    max_iters = (
+        min(m.solver_iterations, int(_os.environ.get("GST_NEWTON", "10")))
+        if f32 else m.solver_iterations
+    )
+    ls_len = int(_os.environ.get("GST_LS", "6")) if f32 else max(m.ls_iterations, 25)
+    bracket_len = int(_os.environ.get("GST_BRACKET", "5")) if f32 else 16
     scale = 1.0 / (jnp.maximum(m.stat_meaninertia, MINVAL_) * max(1, nv))
     start = efc.neq + efc.nf + efc.nl
 

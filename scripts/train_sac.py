@@ -33,6 +33,8 @@ def main():
     p.add_argument("--num-envs", type=int, default=256)
     p.add_argument("--total-steps", type=int, default=1_000_000)
     p.add_argument("--learning-starts", type=int, default=1_000)
+    p.add_argument("--utd", type=int, default=1,
+                   help="gradient updates per env-batch step")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--buffer-size", type=int, default=50_000)
     p.add_argument("--batch-size", type=int, default=256)
@@ -40,7 +42,11 @@ def main():
     p.add_argument("--checkpoint-every", type=int, default=50_000)
     p.add_argument("--resume", default=None, help="checkpoint path to restore")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--hull-contacts", action="store_true")
+    p.add_argument(
+        "--hull-contacts", action=argparse.BooleanOptionalAction, default=True,
+        help="full contact set (default; --no-hull-contacts for the reduced "
+        "box-only quick mode)",
+    )
     p.add_argument(
         "--obs", default="state", choices=["state", "pixels_agent_pos"],
         help="pixels_agent_pos trains the MultiInputPolicy-equivalent "
@@ -84,6 +90,7 @@ def main():
             num_envs=args.num_envs,
             total_steps=args.total_steps,
             learning_starts=args.learning_starts,
+            utd=args.utd,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             hull_contacts=args.hull_contacts,

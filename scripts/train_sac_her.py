@@ -39,7 +39,11 @@ def main():
     p.add_argument("--checkpoint-every", type=int, default=20_000)
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--hull-contacts", action="store_true")
+    p.add_argument(
+        "--hull-contacts", action=argparse.BooleanOptionalAction, default=True,
+        help="full contact set (default; --no-hull-contacts for the reduced "
+        "box-only quick mode)",
+    )
     p.add_argument(
         "--tensorboard-dir", default=None,
         help="write TensorBoard scalars in addition to stdout JSON "

@@ -153,6 +153,48 @@ def test_f64_qpos_qvel_lockstep():
     jx.close()
 
 
+def test_f64_lockstep_shadowing_300():
+    """Full-episode (300-step) shadowing tier under impact-free motion.
+
+    PARITY_NOTES.md: per-step op-order differences accumulate ~2e-9/step
+    and the dynamics are contractive, so under smooth sinusoidal reaching
+    actions the error BASELINE stays ~1e-7 qpos for 300 steps, with
+    episodic excursions at cube-slide contact events (measured worst
+    9.6e-3) that re-converge to ~1e-7 within ~25 steps.  Asserts the
+    measured structure with headroom: at least a quarter of all steps sit
+    on the roundoff floor (p25 < 1e-6), the worst excursion stays bounded
+    (< 5e-2), and the run RE-CONVERGES below 1e-6 somewhere in its second
+    half (the contraction claim — a diverging implementation stays
+    diverged)."""
+    import jax
+
+    assert jax.config.jax_enable_x64
+    ref = gym.make("gym_so100/SO100TouchCube-v0", obs_type="so100_state")
+    jx = gym.make("gym_so100_tpu/SO100TouchCube-v0", obs_type="so100_state")
+    ref.reset(seed=7)
+    jx.reset(seed=7)
+    pr = ref.unwrapped._env.physics
+    t = np.arange(300)[:, None]
+    ph = np.arange(6)[None, :]
+    acts = (0.35 * np.sin(0.03 * t + ph)).astype(np.float32)
+    errs = []
+    for a in acts:
+        ref.step(a)
+        jx.step(a)
+        errs.append(
+            np.abs(
+                np.asarray(jx.unwrapped._es.physics.qpos)
+                - np.asarray(pr.data.qpos)
+            ).max()
+        )
+    errs = np.asarray(errs)
+    assert np.percentile(errs, 25) < 1e-6, np.percentile(errs, 25)
+    assert errs.max() < 5e-2, errs.max()
+    assert errs[150:].min() < 1e-6, errs[150:].min()
+    ref.close()
+    jx.close()
+
+
 def test_seeding_determinism():
     e = gym.make("gym_so100_tpu/SO100CubeToBin-v0", obs_type="so100_state")
     o1, _ = e.reset(seed=123)
