@@ -76,6 +76,10 @@ class HerBuffer:
         ne = jnp.maximum(self.n_eps, 1)
         ep = jax.random.randint(k1, (batch_size,), 0, ne)
         tl = jnp.maximum(self.ep_len[ep], 1)
+        # per-row bounds via randint(0, 2^30) % bound: jax.random.randint
+        # takes only scalar bounds, so the modulo supplies the per-episode
+        # range.  The modulo bias is (tl / 2^30) relative — ~3e-7 at the
+        # T=300 episode cap, orders below any statistical effect here.
         t = jax.random.randint(k2, (batch_size,), 0, 1 << 30) % tl
         # future strategy: goal index uniform in [t, ep_len)
         fut = t + jax.random.randint(k3, (batch_size,), 0, 1 << 30) % jnp.maximum(

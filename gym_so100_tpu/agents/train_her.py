@@ -72,6 +72,7 @@ class HERConfig:
     learning_starts: int = 1_000       # train_sac_her.py:251
     her_episodes: int = 64             # episode capacity (ref: 2000 transitions)
     her_ratio: float = 0.8             # n_sampled_goal=4 -> 4/5 relabeled
+    utd: int = 1                       # gradient updates per env-batch step
     distance_threshold: float = 0.01   # env.py:241
     curriculum_steps: int = 5_000      # env.py:244-249
     log_every: int = 50
@@ -253,27 +254,33 @@ class HERTrainer:
         sac = ts.sac
         metrics = {}
         if learn:
-            batch = her.sample(
-                k_sample, self.sac.cfg.batch_size, cfg.her_ratio,
-                cfg.distance_threshold,
-            )
             zero = jnp.zeros((), jnp.float32)
+            # utd gradient updates per env-batch step (resampled batch
+            # each; same ratio rationale as Trainer._rollout_impl)
+            for u in range(max(1, cfg.utd)):
+                k_sample, k_u = jax.random.split(k_sample)
+                batch = her.sample(
+                    k_u, self.sac.cfg.batch_size, cfg.her_ratio,
+                    cfg.distance_threshold,
+                )
 
-            def do_update(s):
-                s2, mt = self.sac.update(s, batch)
-                return s2, {k: v.astype(jnp.float32) for k, v in mt.items()}
+                def do_update(s):
+                    s2, mt = self.sac.update(s, batch)
+                    return s2, {
+                        k: v.astype(jnp.float32) for k, v in mt.items()
+                    }
 
-            sac, metrics = jax.lax.cond(
-                her.n_eps > 0,  # no complete episodes yet -> skip update
-                do_update,
-                lambda s: (
-                    s,
-                    dict(critic_loss=zero, actor_loss=zero,
-                         alpha=jnp.exp(s.log_alpha).astype(jnp.float32),
-                         entropy=zero),
-                ),
-                sac,
-            )
+                sac, metrics = jax.lax.cond(
+                    her.n_eps > 0,  # no complete episodes yet -> skip update
+                    do_update,
+                    lambda s: (
+                        s,
+                        dict(critic_loss=zero, actor_loss=zero,
+                             alpha=jnp.exp(s.log_alpha).astype(jnp.float32),
+                             entropy=zero),
+                    ),
+                    sac,
+                )
         ts2 = HERTrainState(
             sac=sac, her=her, genv=genv2,
             st_obs=st_obs, st_act=st_act, st_next=st_next, st_agoal=st_agoal,

@@ -651,46 +651,73 @@ def collide_batched_lanes(m: Model, d: Data):
     nys = ez_fill(sel_ny, 0.0)
     nzs = ez_fill(sel_nz, 1.0)                               # inactive -> ez
 
-    # static-table selection by pair one-hot, one (npairs, B) mask per slot
+    # static-table selection by pair one-hot, one (npairs, B) mask per
+    # slot.  Two cost cuts vs the naive 25-column version (measured
+    # ~8.6 ms/step at B=4096):
+    # * columns whose table is CONSTANT across pairs (in this scene:
+    #   friction, solref, solimp — the cube and pads share solparams)
+    #   skip selection entirely and broadcast the constant;
+    # * the nv dof_dmask columns (values in {-1, 0, +1}) are packed into
+    #   TWO int bitmask columns (positive/negative bits) selected once,
+    #   then unpacked with cheap (K, B) bit tests — 2 reductions over
+    #   (npairs, B) instead of nv=12.
     pair_k = st(sel_pair)                                    # (K, B)
-    g1_t, g2_t, cd_t = [], [], []
-    f0_t, f1_t, sr0_t, sr1_t, iw_t = [], [], [], [], []
-    si_t = [[] for _ in range(5)]
-    dm_t = [[] for _ in range(tbl["dmask"].shape[1])]
-    for kk in range(K):
-        Sp = pair_k[kk][None, :] == piota                    # (npairs, B)
-        selT = lambda col: jnp.sum(
-            jnp.where(Sp, jnp.asarray(col)[:, None], 0), axis=0
-        )
-        g1_t.append(selT(tbl["pair_geom"][:, 0]))
-        g2_t.append(selT(tbl["pair_geom"][:, 1]))
-        cd_t.append(selT(tbl["condim"]))
-        f0_t.append(selT(tbl["fric"][:, 0].astype(dtype)))
-        f1_t.append(selT(tbl["fric"][:, 1].astype(dtype)))
-        sr0_t.append(selT(tbl["solref"][:, 0].astype(dtype)))
-        sr1_t.append(selT(tbl["solref"][:, 1].astype(dtype)))
-        iw_t.append(selT(tbl["invw"].astype(dtype)))
-        for c in range(5):
-            si_t[c].append(selT(tbl["solimp"][:, c].astype(dtype)))
-        for v in range(len(dm_t)):
-            dm_t[v].append(selT(tbl["dmask"][:, v].astype(dtype)))
+    nv = tbl["dmask"].shape[1]
+    dm_np = tbl["dmask"]
+    dm_pos = np.sum((dm_np > 0).astype(np.int32) << np.arange(nv)[None], 1)
+    dm_neg = np.sum((dm_np < 0).astype(np.int32) << np.arange(nv)[None], 1)
+
+    def const_or_select(col, cast=None):
+        """(K, B) per-contact values for a (npairs,) static column —
+        broadcast when constant, one-hot selected otherwise."""
+        col = np.asarray(col)
+        if np.all(col == col[0]):
+            c = jnp.asarray(col[0] if cast is None else dtype.type(col[0]))
+            return jnp.broadcast_to(c, act.shape), True
+        sel = []
+        for kk in range(K):
+            Sp = pair_k[kk][None, :] == piota                # (npairs, B)
+            jcol = jnp.asarray(col if cast is None else col.astype(cast))
+            sel.append(jnp.sum(jnp.where(Sp, jcol[:, None], 0), axis=0))
+        return st(sel), False
+
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+    g1_t, _ = const_or_select(tbl["pair_geom"][:, 0])
+    g2_t, _ = const_or_select(tbl["pair_geom"][:, 1])
+    cd_t, _ = const_or_select(tbl["condim"])
+    f0_t, _ = const_or_select(tbl["fric"][:, 0], np_dtype)
+    f1_t, _ = const_or_select(tbl["fric"][:, 1], np_dtype)
+    sr0_t, _ = const_or_select(tbl["solref"][:, 0], np_dtype)
+    sr1_t, _ = const_or_select(tbl["solref"][:, 1], np_dtype)
+    iw_t, _ = const_or_select(tbl["invw"], np_dtype)
+    si_t = [
+        const_or_select(tbl["solimp"][:, c], np_dtype)[0] for c in range(5)
+    ]
+    dmp_t, _ = const_or_select(dm_pos)
+    dmn_t, _ = const_or_select(dm_neg)
+    one = jnp.ones((), dtype)
+    dof_dmask = tuple(
+        jnp.where((dmp_t & (1 << v)) != 0, one, 0.0)
+        - jnp.where((dmn_t & (1 << v)) != 0, one, 0.0)
+        for v in range(nv)
+    )
 
     frame = _make_frame_lanes(nxs, nys, nzs)
     return ContactLanes(
         dist=dist,
         pos=(posx, posy, posz),
         frame=frame,
-        friction0=st(f0_t),
-        friction1=st(f1_t),
-        solref0=st(sr0_t),
-        solref1=st(sr1_t),
-        solimp=tuple(st(si_t[c]) for c in range(5)),
-        geom1=st(g1_t),
-        geom2=st(g2_t),
-        condim=st(cd_t),
+        friction0=f0_t,
+        friction1=f1_t,
+        solref0=sr0_t,
+        solref1=sr1_t,
+        solimp=tuple(si_t),
+        geom1=g1_t,
+        geom2=g2_t,
+        condim=cd_t,
         active=act,
-        dof_dmask=tuple(st(dm_t[v]) for v in range(len(dm_t))),
-        invw_diag=st(iw_t),
+        dof_dmask=dof_dmask,
+        invw_diag=iw_t,
         ncand=ncand,
     )
 

@@ -34,6 +34,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)     # ref :250
     p.add_argument("--her-episodes", type=int, default=64)
     p.add_argument("--her-ratio", type=float, default=0.8)    # n_sampled_goal=4
+    p.add_argument("--utd", type=int, default=1,
+                   help="gradient updates per env-batch step")
     p.add_argument("--curriculum-steps", type=int, default=5_000)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=20_000)
@@ -61,6 +63,7 @@ def main():
             learning_starts=args.learning_starts,
             her_episodes=args.her_episodes,
             her_ratio=args.her_ratio,
+            utd=args.utd,
             curriculum_steps=args.curriculum_steps,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
