@@ -359,7 +359,12 @@ def _dir_set_np(n):
     return np.concatenate([axes, dirs]).astype(np.float32)
 
 
-N_PEN_DIRS = 126  # + 6 axis directions
+# + 6 axis directions; GST_ND overrides for measurement only (the lanes
+# sweep, the per-env f32 reference, and their equivalence tests all read
+# this constant, so they stay consistent)
+import os as _os
+
+N_PEN_DIRS = int(_os.environ.get("GST_ND", "126"))
 
 
 def _dir_penetration(p1, R1, v1c, p2, R2, v2c, dtype):
