@@ -61,11 +61,19 @@ def main():
         # reimplementation carries into a contact event)
         pass  # handled in the loop below
     else:
+        pass  # late:/noise: handled below
+    if not (mode.startswith(("ls", "iter", "tol", "state", "late:", "noise:"))):
         raise SystemExit(f"unknown mode {mode}")
     late_step, late_eps = -1, 0.0
     if mode.startswith("late:"):
         _, s_, e_ = mode.split(":")
         late_step, late_eps = int(s_), float(e_)
+    noise_eps = 0.0
+    if mode.startswith("noise:"):
+        # noise:EPS — inject eps*randn into B's qpos/qvel after EVERY step:
+        # models the fresh per-step op-order noise a reimplementation
+        # injects continuously (vs a one-shot perturbation)
+        noise_eps = float(mode.split(":")[1])
     print(
         f"mode={mode}: A iter={pa.model.opt.iterations} "
         f"tol={pa.model.opt.tolerance} ls_tol={pa.model.opt.ls_tolerance}; "
@@ -82,6 +90,10 @@ def main():
             pb.data.qvel[:] += late_eps * prng.randn(pb.data.qvel.shape[0])
         a_env.step(a)
         b_env.step(a)
+        if noise_eps:
+            nrng = np.random.RandomState(777 + i)
+            pb.data.qpos[:] += noise_eps * nrng.randn(pb.data.qpos.shape[0])
+            pb.data.qvel[:] += noise_eps * nrng.randn(pb.data.qvel.shape[0])
         dq = np.abs(np.asarray(pa.data.qpos) - np.asarray(pb.data.qpos)).max()
         dv = np.abs(np.asarray(pa.data.qvel) - np.asarray(pb.data.qvel)).max()
         print(f"step {i:3d} qpos_err {dq:.3e} qvel_err {dv:.3e}", flush=True)

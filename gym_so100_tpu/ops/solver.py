@@ -236,6 +236,16 @@ def solve(m: Model, d: Data, efc: Efc, warmstart=None):
         Htot = M + H
         L = linalg.chol_factor(Htot, eps=1e-12)
         dirn = -linalg.chol_solve(L, grad)
+        # Descent guard: at ill-conditioned states (near-singular Hessian
+        # during slipping impacts) roundoff in the Cholesky direction can
+        # make phi'(0) >= 0, which zeroes the line search and trips the
+        # improvement-based stop at a point measured 6.5% ABOVE the true
+        # optimum (devtools/probe_impact_knife.py; PARITY_NOTES.md).  Fall
+        # back to Jacobi-scaled steepest descent, which always descends
+        # while the gradient is nonzero.
+        slope = linalg.dot(grad, dirn)
+        sd = -grad / jnp.maximum(jnp.diagonal(Htot), MINVAL_)
+        dirn = jnp.where(slope < 0, dirn, sd)
 
         # exact line search: 1-D Newton on phi'(alpha), phi convex
         djar = linalg.matvec(efc.J, dirn)

@@ -388,6 +388,19 @@ def solve_lanes(m: Model, qM, a0, efc: EfcLanes, warmstart=None):
                 Htot[i][j] = qM[i][j] + H[i][j]
         L = _chol_lanes(Htot, nv, dtype)
         dirn = [-v for v in _chol_solve_lanes(L, grad, nv)]
+        # Descent guard — see solver.py: a non-descending Cholesky
+        # direction (near-singular Hessian at slipping impacts) zeroes the
+        # line search and strands the solve above the optimum; fall back
+        # to Jacobi-scaled steepest descent per lane.
+        slope = sum(grad[i] * dirn[i] for i in range(nv))
+        desc = slope < 0
+        dirn = [
+            jnp.where(
+                desc, dirn[i],
+                -grad[i] / jnp.maximum(Htot[i][i], MINVAL_),
+            )
+            for i in range(nv)
+        ]
 
         djar = sum(J[v] * dirn[v] for v in range(nv))   # (NE, B)
         Md = _sym_matvec(qM, dirn, nv)
