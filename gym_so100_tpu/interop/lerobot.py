@@ -5,7 +5,30 @@ Mirrors the reference's LeRobot bridges — demo pickle -> LeRobotDataset
 (evaluate_lerobot_policy.py:11-153) — with the same feature schema and the
 gym<->LeRobot unit conversions from constants.py:60-96.  The `lerobot`
 package is an optional dependency (not installed in this image); every entry
-point degrades with a clear error when it is missing."""
+point degrades with a clear error when it is missing.
+
+API-version pin: the reference imports the FLATTENED namespaces
+`lerobot.datasets.lerobot_dataset` (upload_lerobot_demos.py:8) and
+`lerobot.policies.<kind>.modeling_<kind>` (evaluate_lerobot_policy.py:11-14),
+i.e. lerobot >= 0.2.0 (the 2025 restructure that dropped the
+`lerobot.common.` prefix).  The surface used, verified against the
+reference call sites:
+  * LeRobotDataset.create(repo_id=, fps=, root=, features=,
+    image_writer_processes=, image_writer_threads=)   (upload:95-102)
+  * dataset.add_frame(frame_dict, task=str)           (upload:203)
+  * dataset.image_writer.wait_until_done()            (upload:209, optional)
+  * dataset.save_episode()                            (upload:212)
+  * dataset.clear_episode_buffer()                    (upload:213; removed in
+    newer lerobot where save_episode clears — called only if present)
+  * dataset.push_to_hub()                             (upload:217)
+  * <Policy>.from_pretrained(path), .select_action(batch)  (evaluate:22-28,83)
+This module imports the flattened paths first and falls back to the legacy
+`lerobot.common.` prefix so pre-0.2 installs keep working.  The real
+package cannot be installed in this build image (no network egress);
+tests/test_lerobot_interop.py executes these bodies under a fake-module
+harness that mounts BOTH namespace layouts, and
+test_real_lerobot_if_installed runs against the real package whenever it
+is importable."""
 
 from __future__ import annotations
 
@@ -41,7 +64,12 @@ def demos_to_lerobot_dataset(demo_paths, repo_id, fps=50, push=False,
     _require_lerobot()
     import pickle
 
-    from lerobot.common.datasets.lerobot_dataset import LeRobotDataset
+    try:
+        # lerobot >= 0.2 flattened layout (what the reference imports,
+        # upload_lerobot_demos.py:8)
+        from lerobot.datasets.lerobot_dataset import LeRobotDataset
+    except ImportError:
+        from lerobot.common.datasets.lerobot_dataset import LeRobotDataset
 
     ds = LeRobotDataset.create(
         repo_id=repo_id, fps=fps, features=FEATURES, use_videos=True
@@ -74,18 +102,26 @@ def demos_to_lerobot_dataset(demo_paths, repo_id, fps=50, push=False,
                         obs["pixels"], (2, 0, 1)
                     )
                 ds.add_frame(frame, task=task_text)
+            # reference flow (upload_lerobot_demos.py:209-213): drain the
+            # async image writer, save, then clear the episode buffer on
+            # lerobot versions that still have it (newer save_episode clears)
+            writer = getattr(ds, "image_writer", None)
+            if writer is not None and hasattr(writer, "wait_until_done"):
+                writer.wait_until_done()
             ds.save_episode()
+            if hasattr(ds, "clear_episode_buffer"):
+                ds.clear_episode_buffer()
     if push:
         ds.push_to_hub()
     return ds
 
 
 POLICY_CLASSES = {
-    # evaluate_lerobot_policy.py:11-28
-    "act": "lerobot.common.policies.act.modeling_act.ACTPolicy",
-    "diffusion": "lerobot.common.policies.diffusion.modeling_diffusion.DiffusionPolicy",
-    "pi0fast": "lerobot.common.policies.pi0fast.modeling_pi0fast.PI0FASTPolicy",
-    "smolvla": "lerobot.common.policies.smolvla.modeling_smolvla.SmolVLAPolicy",
+    # evaluate_lerobot_policy.py:11-14 (flattened lerobot >= 0.2 paths)
+    "act": "lerobot.policies.act.modeling_act.ACTPolicy",
+    "diffusion": "lerobot.policies.diffusion.modeling_diffusion.DiffusionPolicy",
+    "pi0fast": "lerobot.policies.pi0fast.modeling_pi0fast.PI0FASTPolicy",
+    "smolvla": "lerobot.policies.smolvla.modeling_smolvla.SmolVLAPolicy",
 }
 
 
@@ -94,7 +130,12 @@ def load_pretrained_policy(kind, path_or_repo):
     import importlib
 
     module, cls = POLICY_CLASSES[kind].rsplit(".", 1)
-    policy_cls = getattr(importlib.import_module(module), cls)
+    try:
+        policy_cls = getattr(importlib.import_module(module), cls)
+    except ImportError:
+        # legacy pre-0.2 layout
+        legacy = module.replace("lerobot.", "lerobot.common.", 1)
+        policy_cls = getattr(importlib.import_module(legacy), cls)
     return policy_cls.from_pretrained(path_or_repo)
 
 

@@ -105,6 +105,122 @@ def _static_hull_tables(m):
     return gidx, buckets, np.asarray(counts), verts, lcen, lhalf, i1, i2
 
 
+def _sweep_h_pallas(p, R, verts_np, buckets, Dset, i1, i2, dtype, B):
+    """Support sweep + per-pair H + winning-direction selection as ONE
+    Pallas kernel, B-tiled through VMEM.
+
+    The XLA form materializes the (ND, G, B) support tables to HBM
+    (2 x ~52 MB at B=4096) and re-reads two (ND, B) slices per pair for
+    the H stage — ~0.6 GB of HBM traffic per substep.  Here the tables
+    live entirely in VMEM per B-tile: poses are read once, and only the
+    (4P, B) results (depth + normal components) are written back.  The
+    witness/AABB stages stay outside (they are compute-light on (P, B)
+    lanes and already fuse well).
+
+    Numerics identical to the XLA path: same truncated per-bucket vertex
+    chains, same argmin-first tie rule (masked-iota min).  Replaces the
+    mesh-geom narrowphase of the reference hot loop
+    (/root/reference/gym_so100/env.py step -> mj_collision) at TPU batch
+    scale."""
+    import os as _os
+
+    import jax
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = p[0].shape[0]
+    P = int(i1.shape[0])
+    ND = Dset.shape[0]
+    Vmax = verts_np.shape[1]
+    Bt = max((bt for bt in (256, 128) if B % bt == 0), default=0)
+    Bt = int(_os.environ.get("GST_PALLAS_HULL_BT", Bt) or Bt)
+
+    p_pack = jnp.concatenate(p, axis=0)                      # (3G, B)
+    R_pack = jnp.concatenate(
+        [R[j][k] for j in range(3) for k in range(3)], axis=0
+    )                                                        # (9G, B)
+    # static tables as (sublane, lane) inputs: verts (G, 3*Vmax) with
+    # column v*3+k = component k of vertex v; directions (ND, 3)
+    verts_in = jnp.asarray(
+        np.transpose(verts_np, (2, 1, 0)).reshape(G, Vmax * 3), dtype
+    )
+    D_in = jnp.asarray(Dset, dtype)                          # (ND, 3)
+    i1l, i2l = i1.tolist(), i2.tolist()
+
+    def kernel(p_ref, R_ref, verts_ref, D_ref, out_ref):
+        pv = [p_ref[k * G:(k + 1) * G] for k in range(3)]    # (G, Bt)
+        Rv = [
+            [R_ref[(j * 3 + k) * G:(j * 3 + k + 1) * G] for k in range(3)]
+            for j in range(3)
+        ]
+        Dj = [D_ref[:, j:j + 1] for j in range(3)]           # (ND, 1)
+
+        Tt = [None] * G                                      # per-geom (ND, Bt)
+        Tb = [None] * G
+        for lo, hi, V in buckets:
+            Rb = [[Rv[j][k][lo:hi] for k in range(3)] for j in range(3)]
+            # local direction components ld[k] (ND, Gb, Bt)
+            ld = [
+                sum(Dj[j][:, None] * Rb[j][k][None] for j in range(3))
+                for k in range(3)
+            ]
+
+            def s_of(v):
+                vc = [verts_ref[lo:hi, v * 3 + k:v * 3 + k + 1] for k in range(3)]
+                return sum(ld[k] * vc[k][None] for k in range(3))
+
+            smax = s_of(0)
+            smin = smax
+            for v in range(1, V):
+                s = s_of(v)
+                smax = jnp.maximum(smax, s)
+                smin = jnp.minimum(smin, s)
+            dp = sum(Dj[j][:, None] * pv[j][lo:hi][None] for j in range(3))
+            smax = smax + dp
+            smin = smin + dp
+            for gi in range(lo, hi):
+                Tt[gi] = smax[:, gi - lo, :]
+                Tb[gi] = smin[:, gi - lo, :]
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ND, Bt), 0)
+        nd_big = jnp.full((ND, Bt), ND, jnp.int32)
+        for pp in range(P):
+            h = Tt[i1l[pp]] - Tb[i2l[pp]]                    # (ND, Bt)
+            hmin = jnp.min(h, axis=0, keepdims=True)
+            # argmin-first tie rule via masked-iota min (no 1-D shapes)
+            bd = jnp.min(
+                jnp.where(h == hmin, iota, nd_big), axis=0, keepdims=True
+            )
+            oh = iota == bd                                  # (ND, Bt)
+            out_ref[pp:pp + 1] = -hmin                       # depth
+            for j in range(3):
+                out_ref[(1 + j) * P + pp:(1 + j) * P + pp + 1] = jnp.sum(
+                    jnp.where(oh, Dj[j], 0.0), axis=0, keepdims=True
+                )
+
+    rowspec = lambda n: pl.BlockSpec(
+        (n, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    fullspec = lambda r, c: pl.BlockSpec(
+        (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // Bt,),
+        in_specs=[
+            rowspec(3 * G), rowspec(9 * G),
+            fullspec(G, Vmax * 3), fullspec(ND, 3),
+        ],
+        out_specs=rowspec(4 * P),
+        out_shape=jax.ShapeDtypeStruct((4 * P, B), dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(p_pack, R_pack, verts_in, D_in)
+    depth = out[:P]
+    nrm = [out[(1 + j) * P:(2 + j) * P] for j in range(3)]
+    return depth, nrm
+
+
 def collide_hulls_lanes(m, d, margin=0.0, lanes_out=False):
     """All hull pairs for a batched Data (leaves (B, ...)), f32.
 
@@ -131,6 +247,21 @@ def collide_hulls_lanes(m, d, margin=0.0, lanes_out=False):
     gm = d.geom_xmat[:, gidx, :, :]        # (B, G, 3, 3)
     p = [jnp.transpose(gx[..., k]) for k in range(3)]            # (G, B)
     R = [[jnp.transpose(gm[..., j, k]) for k in range(3)] for j in range(3)]
+
+    import os as _os
+
+    if (
+        dtype == jnp.float32
+        and B % 128 == 0
+        and _os.environ.get("GST_PALLAS_HULL", "1") == "1"
+    ):
+        depth, nrm = _sweep_h_pallas(
+            p, R, verts_np, buckets, Dset, i1, i2, dtype, B
+        )
+        return _witness_and_pack(
+            m, d, margin, lanes_out, dtype, p, R, verts_np, counts_np,
+            lcen_np, lhalf_np, i1, i2, depth, nrm, P, B,
+        )
 
     # local direction components per geom: ld[k] (ND, G, B) = sum_j D_j R[j][k]
     ld = [
@@ -199,6 +330,17 @@ def collide_hulls_lanes(m, d, margin=0.0, lanes_out=False):
     depth = -Hmin                                # negative when penetrating
     nrm = [jnp.stack(nrm_l[j], axis=0) for j in range(3)]  # (P, B) 1->2
 
+    return _witness_and_pack(
+        m, d, margin, lanes_out, dtype, p, R, verts_np, counts_np,
+        lcen_np, lhalf_np, i1, i2, depth, nrm, P, B,
+    )
+
+
+def _witness_and_pack(m, d, margin, lanes_out, dtype, p, R, verts_np,
+                      counts_np, lcen_np, lhalf_np, i1, i2, depth, nrm,
+                      P, B):
+    """Witness points, AABB activity mask, and output packing — shared by
+    the XLA and Pallas sweep paths (consumes the (P, B) depth/normal)."""
     # --- witness points: extreme vertex of each geom along the winning
     # direction, recomputed as an unrolled running-select chain that runs
     # only as deep as each side geom's true vertex count (the old uniform

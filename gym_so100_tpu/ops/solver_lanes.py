@@ -305,6 +305,447 @@ def _ls_pallas(jar, djar, efc: EfcLanes, c1, c2, bracket_len, ls_len):
     return alpha[0]
 
 
+def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
+                        max_iters, ls_len, bracket_len, tol):
+    """Whole Newton solve as ONE Pallas kernel, B-tiled through VMEM.
+
+    Round-4's line-search-only kernel (_ls_pallas) measured SLOWER than the
+    scan path because the pallas_call boundary materialized jar/djar/D to
+    HBM every Newton iteration, breaking XLA's producer fusions.  This
+    kernel moves the ENTIRE solve inside — J/D/aref/uscale/qM are read
+    from HBM exactly once per substep and every Newton iteration and all
+    ~13 line-search evaluations run against VMEM-resident rows.  Same
+    algorithm, zones, masked-iteration semantics, and termination rule as
+    the scan path (kept as the f64/parity/fallback path below; equivalence
+    pinned in tests/test_efc_lanes.py).
+
+    Replaces the PGS/Newton solve of the reference's mj_step hot loop
+    (/root/reference/gym_so100/env.py:172-182) at TPU batch scale.
+    """
+    import os as _os
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = a0.dtype
+    nv = a0.shape[-1]
+    B = a0.shape[0]
+    NE = efc.aref.shape[0]
+    neq, nf = efc.neq, efc.nf
+    ns = neq + nf + efc.nl
+    nlp = ns - neq - nf                      # limits incl. tile padding
+    K = efc.con_mu.shape[0]
+    ntri = nv * (nv + 1) // 2
+    Bt = max(
+        (bt for bt in (512, 256, 128) if B % bt == 0),
+        default=0,
+    )
+    Bt = int(_os.environ.get("GST_PALLAS_BT", Bt) or Bt)
+    tiny = float(jnp.finfo(dtype).tiny) ** 0.5
+
+    # --- pack inputs as (rows, B) lane arrays ---
+    # aux rows: [floss (nf) | R_f (nf) | mu (K) | Dn (K) | scale (1)],
+    # padded to a multiple of 8 sublanes
+    o_fl, o_rf, o_mu, o_dn = 0, nf, 2 * nf, 2 * nf + K
+    o_sc = 2 * nf + 2 * K
+    n_aux = o_sc + 1
+    n_aux_pad = -(-n_aux // 8) * 8
+    scale = 1.0 / (jnp.maximum(m.stat_meaninertia, MINVAL_) * max(1, nv))
+    aux = jnp.concatenate(
+        [efc.floss, efc.R[neq:neq + nf], efc.con_mu, efc.con_Dn,
+         jnp.broadcast_to(jnp.asarray(scale, dtype), (1, B)),
+         jnp.zeros((n_aux_pad - n_aux, B), dtype)],
+        axis=0,
+    )
+    usc = efc.con_uscale.reshape(K * CDIM, B)
+    qMl = jnp.stack(
+        [qM[i][j] for i in range(nv) for j in range(i + 1)], axis=0
+    )                                                    # (ntri, B)
+    x0 = a0.T                                            # (nv, B)
+    warm = warmstart.T if warmstart is not None else x0
+
+    def kernel(J_ref, aref_ref, D_ref, aux_ref, us_ref, qM_ref,
+               x0_ref, warm_ref, out_ref):
+        J = [J_ref[v * NE:(v + 1) * NE] for v in range(nv)]   # nv x (NE, Bt)
+        arefv = aref_ref[:]
+        Dv = D_ref[:]
+        fl = aux_ref[o_fl:o_fl + nf]
+        Rf = aux_ref[o_rf:o_rf + nf]
+        mu = aux_ref[o_mu:o_mu + K]
+        Dn = aux_ref[o_dn:o_dn + K]
+        scl = aux_ref[o_sc:o_sc + 1]
+        us = us_ref[:].reshape(K, CDIM, Bt)
+        ust = us[:, 1:]
+        lim = fl * Rf
+        D_s = Dv[:ns]
+        D_c = Dv[ns:].reshape(K, CDIM, Bt)
+        # full symmetric qM view from the lower-tri pack
+        qMt = [[None] * nv for _ in range(nv)]
+        r = 0
+        for i in range(nv):
+            for j in range(i + 1):
+                qMt[i][j] = qM_ref[r:r + 1]
+                qMt[j][i] = qMt[i][j]
+                r += 1
+        x0v = [x0_ref[i:i + 1] for i in range(nv)]
+        warmv = [warm_ref[i:i + 1] for i in range(nv)]
+
+        def jar_of(xs):                                   # xs nv x (1, Bt)
+            acc = -arefv
+            for v in range(nv):
+                acc = acc + J[v] * xs[v]
+            return acc
+
+        def mat_vec(xs):                                  # qM @ xs
+            return [
+                sum(qMt[i][j] * xs[j] for j in range(nv)) for i in range(nv)
+            ]
+
+        def cone_terms(jar):
+            """Shared cone-zone quantities at jar (mirrors _cost_terms)."""
+            jar_c = jar[ns:].reshape(K, CDIM, Bt)
+            u = jar_c * us
+            un = u[:, 0]
+            ut = u[:, 1:]
+            Traw = jnp.sqrt(jnp.sum(ut * ut, axis=1))
+            T = jnp.maximum(Traw, jnp.asarray(1e-30, dtype))
+            bottom = mu * Traw <= un
+            topz = (Traw <= -mu * un) & (Dn > 0)
+            middle = ~(bottom | (Traw <= -mu * un)) & (Dn > 0)
+            w = mu * Traw - un
+            k = Dn / (1 + mu * mu)
+            uhat = ut / T[:, None]
+            return jar_c, un, ut, T, topz, middle, w, k, uhat
+
+        def scalar_grads(jar):
+            """Per-segment scalar-row gradients (zeros where inactive)."""
+            out = {}
+            if neq:
+                out["ge"] = Dv[:neq] * jar[:neq]
+            if nf:
+                jf = jar[neq:neq + nf]
+                out["gf"] = jnp.where(
+                    jnp.abs(jf) <= lim, Dv[neq:neq + nf] * jf,
+                    fl * jnp.sign(jf),
+                )
+            if nlp:
+                jl = jar[neq + nf:ns]
+                out["gl"] = jnp.where(jl < 0, Dv[neq + nf:ns] * jl, 0.0)
+            return out
+
+        def cost_of(xs):
+            """Total cost: constraint cost + 0.5 (x-a0)' M (x-a0)."""
+            jar = jar_of(xs)
+            c = jnp.zeros((1, Bt), dtype)
+            if neq:
+                c = c + jnp.sum(
+                    0.5 * Dv[:neq] * jar[:neq] * jar[:neq],
+                    axis=0, keepdims=True,
+                )
+            if nf:
+                jf = jar[neq:neq + nf]
+                c = c + jnp.sum(
+                    jnp.where(
+                        jnp.abs(jf) <= lim,
+                        0.5 * Dv[neq:neq + nf] * jf * jf,
+                        fl * jnp.abs(jf) - 0.5 * fl * lim,
+                    ),
+                    axis=0, keepdims=True,
+                )
+            if nlp:
+                jl = jar[neq + nf:ns]
+                c = c + jnp.sum(
+                    jnp.where(jl < 0, 0.5 * Dv[neq + nf:ns] * jl * jl, 0.0),
+                    axis=0, keepdims=True,
+                )
+            jar_c, un, ut, T, topz, middle, w, k, uhat = cone_terms(jar)
+            cc = jnp.where(topz, 0.5 * jnp.sum(D_c * jar_c * jar_c, 1), 0.0)
+            cc = cc + jnp.where(middle, 0.5 * k * w * w, 0.0)
+            c = c + jnp.sum(cc, axis=0, keepdims=True)
+            dx = [xs[i] - x0v[i] for i in range(nv)]
+            Mdx = mat_vec(dx)
+            c = c + 0.5 * sum(dx[i] * Mdx[i] for i in range(nv))
+            return c
+
+        # warmstart selection (same rule as the scan path)
+        cw = cost_of(warmv)
+        cs = cost_of(x0v)
+        better = cw < cs
+        x_init = jnp.concatenate(
+            [jnp.where(better, warmv[i], x0v[i]) for i in range(nv)], axis=0
+        )                                                  # (nv, Bt)
+
+        def newton_body(_, carry):
+            xmat, it, done, cost_prev = carry
+            xs = [xmat[i:i + 1] for i in range(nv)]
+            jar = jar_of(xs)
+            sg = scalar_grads(jar)
+            jar_c, un, ut, T, topz, middle, w, k, uhat = cone_terms(jar)
+            g_mid_u = jnp.concatenate(
+                [-jnp.ones_like(un)[:, None], mu[:, None] * uhat], axis=1
+            )
+            grad_c = (
+                topz[:, None] * D_c * jar_c
+                + middle[:, None] * (k * w)[:, None] * g_mid_u * us
+            )
+            # constraint cost at xs (for the improvement test)
+            cost_con = jnp.zeros((1, Bt), dtype)
+            if neq:
+                cost_con = cost_con + jnp.sum(
+                    0.5 * sg["ge"] * jar[:neq], axis=0, keepdims=True
+                )
+            if nf:
+                jf = jar[neq:neq + nf]
+                cost_con = cost_con + jnp.sum(
+                    jnp.where(
+                        jnp.abs(jf) <= lim,
+                        0.5 * Dv[neq:neq + nf] * jf * jf,
+                        fl * jnp.abs(jf) - 0.5 * fl * lim,
+                    ),
+                    axis=0, keepdims=True,
+                )
+            if nlp:
+                jl = jar[neq + nf:ns]
+                cost_con = cost_con + jnp.sum(
+                    jnp.where(jl < 0, 0.5 * Dv[neq + nf:ns] * jl * jl, 0.0),
+                    axis=0, keepdims=True,
+                )
+            cc = jnp.where(topz, 0.5 * jnp.sum(D_c * jar_c * jar_c, 1), 0.0)
+            cc = cc + jnp.where(middle, 0.5 * k * w * w, 0.0)
+            cost_con = cost_con + jnp.sum(cc, axis=0, keepdims=True)
+
+            # gradient J'g + M dx, and diag-weight + rank-1 Hessian
+            pieces_g, pieces_h = [], []
+            if neq:
+                pieces_g.append(sg["ge"])
+                pieces_h.append(Dv[:neq])
+            if nf:
+                jf = jar[neq:neq + nf]
+                pieces_g.append(sg["gf"])
+                pieces_h.append(
+                    jnp.where(jnp.abs(jf) <= lim, Dv[neq:neq + nf], 0.0)
+                )
+            if nlp:
+                jl = jar[neq + nf:ns]
+                pieces_g.append(sg["gl"])
+                pieces_h.append(jnp.where(jl < 0, Dv[neq + nf:ns], 0.0))
+            pieces_g.append(grad_c.reshape(K * CDIM, Bt))
+            pieces_h.append((topz[:, None] * D_c).reshape(K * CDIM, Bt))
+            g_all = jnp.concatenate(pieces_g, axis=0)     # (NE, Bt)
+            w_diag = jnp.concatenate(pieces_h, axis=0)    # (NE, Bt)
+
+            dx = [xs[i] - x0v[i] for i in range(nv)]
+            Mdx = mat_vec(dx)
+            cost = cost_con + 0.5 * sum(dx[i] * Mdx[i] for i in range(nv))
+            grad = [
+                Mdx[i] + jnp.sum(J[i] * g_all, axis=0, keepdims=True)
+                for i in range(nv)
+            ]
+
+            # middle-zone rank-1 pieces
+            g_u = g_mid_u * us                             # (K, CDIM, Bt)
+            kk = k * middle
+            Jc = [J[v][ns:].reshape(K, CDIM, Bt) for v in range(nv)]
+            a_ = [jnp.sum(g_u * Jc[v], axis=1) for v in range(nv)]
+            SJt = [ust * Jc[v][:, 1:] for v in range(nv)]
+            proj = [jnp.sum(uhat * SJt[v], axis=1) for v in range(nv)]
+            wmu = kk * w * mu / T
+
+            WJ = [w_diag * J[i] for i in range(nv)]
+            H = [[None] * nv for _ in range(nv)]
+            for i in range(nv):
+                for j in range(i + 1):
+                    g1 = jnp.sum(WJ[i] * J[j], axis=0, keepdims=True)
+                    g2 = jnp.sum(kk * a_[i] * a_[j], axis=0, keepdims=True)
+                    g3 = jnp.sum(
+                        wmu * (
+                            jnp.sum(SJt[i] * SJt[j], axis=1)
+                            - proj[i] * proj[j]
+                        ),
+                        axis=0, keepdims=True,
+                    )
+                    H[i][j] = qMt[i][j] + g1 + g2 + g3
+
+            # lanes Cholesky + solve (mirrors smooth_lanes._chol_lanes)
+            L = [[None] * nv for _ in range(nv)]
+            for jj in range(nv):
+                sval = H[jj][jj]
+                for kx in range(jj):
+                    sval = sval - L[jj][kx] * L[jj][kx]
+                L[jj][jj] = jnp.sqrt(jnp.maximum(sval, tiny))
+                inv = 1.0 / L[jj][jj]
+                for ii in range(jj + 1, nv):
+                    sval = H[ii][jj]
+                    for kx in range(jj):
+                        sval = sval - L[ii][kx] * L[jj][kx]
+                    L[ii][jj] = sval * inv
+            y = [None] * nv
+            for ii in range(nv):
+                sval = grad[ii]
+                for kx in range(ii):
+                    sval = sval - L[ii][kx] * y[kx]
+                y[ii] = sval / L[ii][ii]
+            dirn = [None] * nv
+            for ii in reversed(range(nv)):
+                sval = y[ii]
+                for kx in range(ii + 1, nv):
+                    sval = sval - L[kx][ii] * dirn[kx]
+                dirn[ii] = sval / L[ii][ii]
+            dirn = [-v for v in dirn]
+            # descent guard (see scan path): fall back to Jacobi-scaled
+            # steepest descent when the Cholesky direction doesn't descend
+            slope = sum(grad[i] * dirn[i] for i in range(nv))
+            desc = slope < 0
+            dirn = [
+                jnp.where(desc, dirn[i], -grad[i] / jnp.maximum(H[i][i], MINVAL_))
+                for i in range(nv)
+            ]
+
+            djar = jnp.zeros((NE, Bt), dtype)
+            for v in range(nv):
+                djar = djar + J[v] * dirn[v]
+            dj_c = djar[ns:].reshape(K, CDIM, Bt)
+            Md = mat_vec(dirn)
+            c1 = sum(dirn[i] * Mdx[i] for i in range(nv))
+            c2 = sum(dirn[i] * Md[i] for i in range(nv))
+
+            def d1_of(alpha):                              # (1, Bt) -> (1, Bt)
+                jar_a = jar + alpha * djar
+                sga = scalar_grads(jar_a)
+                d1 = c1 + alpha * c2
+                if neq:
+                    d1 = d1 + jnp.sum(
+                        sga["ge"] * djar[:neq], axis=0, keepdims=True
+                    )
+                if nf:
+                    d1 = d1 + jnp.sum(
+                        sga["gf"] * djar[neq:neq + nf], axis=0, keepdims=True
+                    )
+                if nlp:
+                    d1 = d1 + jnp.sum(
+                        sga["gl"] * djar[neq + nf:ns], axis=0, keepdims=True
+                    )
+                jc, una, uta, Ta, topa, mida, wa, ka, uha = cone_terms(jar_a)
+                gm = jnp.concatenate(
+                    [-jnp.ones_like(una)[:, None], mu[:, None] * uha], axis=1
+                )
+                gc = (
+                    topa[:, None] * D_c * jc
+                    + mida[:, None] * (ka * wa)[:, None] * gm * us
+                )
+                return d1 + jnp.sum(
+                    jnp.sum(gc * dj_c, axis=1), axis=0, keepdims=True
+                )
+
+            one = jnp.ones((1, Bt), dtype)
+            hi = one
+            ok = jnp.zeros((1, Bt), bool)
+            for _ in range(bracket_len):
+                d1 = d1_of(hi)
+                ok2 = d1 > 0
+                hi = jnp.where(ok | ok2, hi, hi * 2.0)
+                ok = ok | ok2
+            dhi = d1_of(hi)
+            dlo = d1_of(jnp.zeros((1, Bt), dtype))
+            dlo0 = dlo
+            lo = jnp.zeros((1, Bt), dtype)
+            for _ in range(ls_len):
+                denom = dhi - dlo
+                a_il = jnp.where(
+                    jnp.abs(denom) > MINVAL_,
+                    lo - dlo * (hi - lo)
+                    / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
+                    0.5 * (lo + hi),
+                )
+                a_il = jnp.clip(a_il, lo + 1e-14, hi - 1e-14)
+                da = d1_of(a_il)
+                neg = da < 0
+                lo = jnp.where(neg, a_il, lo)
+                dlo = jnp.where(neg, da, 0.5 * dlo)
+                hi = jnp.where(neg, hi, a_il)
+                dhi = jnp.where(neg, 0.5 * dhi, da)
+            denom = dhi - dlo
+            alpha = jnp.where(
+                jnp.abs(denom) > MINVAL_,
+                lo - dlo * (hi - lo)
+                / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
+                0.5 * (lo + hi),
+            )
+            alpha = jnp.where(dlo0 >= 0, 0.0, alpha)
+
+            x_new = [xs[i] + alpha * dirn[i] for i in range(nv)]
+            cost_new = cost_of(x_new)
+            improvement = (cost - cost_new) * scl
+            gradnorm = jnp.sqrt(sum(g * g for g in grad)) * scl
+            done_new = (improvement < tol) | (gradnorm < tol)
+            keep = cost_new < cost
+            x_out = [jnp.where(keep, x_new[i], xs[i]) for i in range(nv)]
+            # masked-iteration semantics (scan path's masked_body)
+            x_mat2 = jnp.concatenate(
+                [jnp.where(done, xs[i], x_out[i]) for i in range(nv)], axis=0
+            )
+            it2 = jnp.where(done, it, it + 1.0)
+            cost2 = jnp.where(done, cost_prev, cost_new)
+            return x_mat2, it2, done | done_new, cost2
+
+        carry = (
+            x_init, jnp.zeros((1, Bt), dtype), jnp.zeros((1, Bt), bool),
+            jnp.full((1, Bt), jnp.inf, dtype),
+        )
+        x_fin, niter, _, _ = jax.lax.fori_loop(
+            0, max_iters, newton_body, carry
+        )
+
+        xs = [x_fin[i:i + 1] for i in range(nv)]
+        jar = jar_of(xs)
+        sg = scalar_grads(jar)
+        jar_c, un, ut, T, topz, middle, w, k, uhat = cone_terms(jar)
+        g_mid_u = jnp.concatenate(
+            [-jnp.ones_like(un)[:, None], mu[:, None] * uhat], axis=1
+        )
+        grad_c = (
+            topz[:, None] * D_c * jar_c
+            + middle[:, None] * (k * w)[:, None] * g_mid_u * us
+        )
+        pieces = []
+        if neq:
+            pieces.append(sg["ge"])
+        if nf:
+            pieces.append(sg["gf"])
+        if nlp:
+            pieces.append(sg["gl"])
+        pieces.append(grad_c.reshape(K * CDIM, Bt))
+        force = jnp.concatenate(pieces, axis=0)
+        qfrc = jnp.concatenate(
+            [-jnp.sum(J[v] * force, axis=0, keepdims=True) for v in range(nv)],
+            axis=0,
+        )
+        out_ref[0:nv] = x_fin
+        out_ref[nv:2 * nv] = qfrc
+        out_ref[2 * nv:2 * nv + 1] = niter
+
+    rowspec = lambda n: pl.BlockSpec(
+        (n, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    Jstack = jnp.concatenate(efc.J, axis=0)               # (nv*NE, B)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // Bt,),
+        in_specs=[
+            rowspec(nv * NE), rowspec(NE), rowspec(NE),
+            rowspec(n_aux_pad), rowspec(K * CDIM), rowspec(ntri),
+            rowspec(nv), rowspec(nv),
+        ],
+        out_specs=rowspec(2 * nv + 1),
+        out_shape=jax.ShapeDtypeStruct((2 * nv + 1, B), dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(Jstack, efc.aref, efc.D, aux, usc, qMl, x0, warm)
+    qacc = out[0:nv].T
+    qfrc = out[nv:2 * nv].T
+    niter = out[2 * nv].astype(jnp.int32)
+    return qacc, qfrc, niter
+
+
 def solve_lanes(m: Model, qM, a0, efc: EfcLanes, warmstart=None):
     """Newton solve, lanes form.
 
@@ -371,6 +812,17 @@ def solve_lanes(m: Model, qM, a0, efc: EfcLanes, warmstart=None):
     )
     ls_len = int(_os.environ.get("GST_LS", "6")) if f32 else max(m.ls_iterations, 25)
     bracket_len = int(_os.environ.get("GST_BRACKET", "5")) if f32 else 16
+    # fused whole-solve Pallas kernel (f32 throughput path): one HBM read
+    # of J/D/aref per substep instead of one per line-search evaluation
+    if (
+        f32
+        and B % 128 == 0
+        and _os.environ.get("GST_PALLAS_SOLVE", "0") == "1"
+    ):
+        return _solve_fused_pallas(
+            m, qM, a0, efc, warmstart, max_iters, ls_len, bracket_len, tol
+        )
+
     scale = 1.0 / (jnp.maximum(m.stat_meaninertia, MINVAL_) * max(1, nv))
     start = efc.neq + efc.nf + efc.nl
 

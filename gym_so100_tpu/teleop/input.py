@@ -276,12 +276,28 @@ class KeyboardController(InputController):
         self.step = step
         self.joint_deltas = [0.0] * 6
         self._old = None
+        self._injected = []
+        self._inj_lock = __import__("threading").Lock()
+
+    def inject(self, ch):
+        """Queue a key from another source (e.g. the browser viewer's
+        /key endpoint) to be processed on the next update(); thread-safe."""
+        with self._inj_lock:
+            self._injected.append(ch)
 
     def start(self):
-        import sys, termios, tty
+        import sys
 
-        self._old = termios.tcgetattr(sys.stdin)
-        tty.setcbreak(sys.stdin.fileno())
+        try:
+            import termios, tty
+
+            self._old = termios.tcgetattr(sys.stdin)
+            tty.setcbreak(sys.stdin.fileno())
+            self._tty = True
+        except Exception:
+            # no tty (piped stdin / headless service): browser-injected keys
+            # via inject() remain the input channel (record_teleop --watch)
+            self._tty = False
 
     def stop(self):
         if self._old is not None:
@@ -290,21 +306,29 @@ class KeyboardController(InputController):
             termios.tcsetattr(sys.stdin, termios.TCSADRAIN, self._old)
             self._old = None
 
+    def _handle(self, ch):
+        if ch == "q":
+            self.running = False
+        elif ch == "1":
+            self.episode_end_status = "success"
+        elif ch == "2":
+            self.episode_end_status = "failure"
+        elif ch == "3":
+            self.episode_end_status = "rerecord_episode"
+        elif ch in self.KEYMAP:
+            j, s = self.KEYMAP[ch]
+            self.joint_deltas[j] += s * self.step
+
     def update(self):
         import select
         import sys
 
         self.joint_deltas = [0.0] * 6
+        with self._inj_lock:
+            injected, self._injected = self._injected, []
+        for ch in injected:
+            self._handle(ch)
+        if not getattr(self, "_tty", True):
+            return
         while select.select([sys.stdin], [], [], 0)[0]:
-            ch = sys.stdin.read(1)
-            if ch == "q":
-                self.running = False
-            elif ch == "1":
-                self.episode_end_status = "success"
-            elif ch == "2":
-                self.episode_end_status = "failure"
-            elif ch == "3":
-                self.episode_end_status = "rerecord_episode"
-            elif ch in self.KEYMAP:
-                j, s = self.KEYMAP[ch]
-                self.joint_deltas[j] += s * self.step
+            self._handle(sys.stdin.read(1))

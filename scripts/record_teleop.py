@@ -4,9 +4,11 @@ Terminal-based port of /root/reference/scripts/record_teleop.py: joint-space
 teleop with keyboard (or gamepad when HID hardware exists), episodes saved
 as a pickle list of {observations, actions, rewards, infos} dicts — the
 exact format the BC trainer and LeRobot uploader consume
-(record_teleop.py:158-494).  The cv2 window is replaced by a terminal status
-line (this image has no display); add --video to also write an mp4 per
-episode via the on-device rasterizer."""
+(record_teleop.py:158-494).  The reference's live cv2 camera window is
+replaced by --watch: a browser MJPEG stream of the on-device rasterizer
+(open http://localhost:<port> while recording; browser keydowns drive the
+same teleop/endcode keys as the terminal).  Add --video to also write an
+mp4 per episode."""
 
 import argparse
 import os
@@ -35,6 +37,12 @@ def main():
     p.add_argument("--episodes", type=int, default=10)
     p.add_argument("--video", action="store_true")
     p.add_argument("--gamepad", action="store_true")
+    p.add_argument(
+        "--watch", type=int, nargs="?", const=8000, default=None,
+        metavar="PORT",
+        help="stream the camera view to a browser while recording "
+        "(the reference's live cv2 window, record_teleop.py:158-494)",
+    )
     args = p.parse_args()
 
     env = gym.make(f"gym_so100_tpu/{args.task}", obs_type="so100_state")
@@ -51,6 +59,18 @@ def main():
 
     ctrl_cls = GamepadControllerHID if args.gamepad else KeyboardController
     with ctrl_cls() as ctl:
+        server = None
+        if args.watch is not None:
+            from gym_so100_tpu.render.mjpeg import MjpegServer
+
+            server = MjpegServer(
+                port=args.watch, fps=15.0,
+                title="gym_so100_tpu — recording",
+                help_text="a/z s/x d/c f/v g/b h/n: joints; 1=success "
+                "2=failure 3=rerecord q=quit",
+                key_handler=getattr(ctl, "inject", None),
+            ).start()
+            print(f"watch: http://localhost:{server.port}")
         print("keys: a/z s/x d/c f/v g/b h/n joints; 1=success 2=failure "
               "3=rerecord q=quit")
         for ep in range(args.episodes):
@@ -68,8 +88,12 @@ def main():
                 episode["actions"].append(state.copy())
                 episode["rewards"].append(reward)
                 episode["infos"].append(info)
-                if args.video:
-                    frames.append(np.asarray(env.render()))
+                if args.video or server is not None:
+                    frame = np.asarray(env.render())
+                    if args.video:
+                        frames.append(frame)
+                    if server is not None:
+                        server.publish(frame)
                 print(
                     f"\rep {ep} t={len(episode['actions'])} r={reward:+.3f} ",
                     end="", flush=True,

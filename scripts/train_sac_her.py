@@ -32,11 +32,19 @@ def main():
     p.add_argument("--learning-starts", type=int, default=1_000)
     p.add_argument("--lr", type=float, default=1e-4)          # ref :248
     p.add_argument("--batch-size", type=int, default=256)     # ref :250
-    p.add_argument("--her-episodes", type=int, default=64)
+    p.add_argument("--her-episodes", type=int, default=256)
     p.add_argument("--her-ratio", type=float, default=0.8)    # n_sampled_goal=4
     p.add_argument("--utd", type=int, default=1,
                    help="gradient updates per env-batch step")
     p.add_argument("--curriculum-steps", type=int, default=5_000)
+    p.add_argument(
+        "--near-cube-only", action="store_true",
+        help="keep the near-cube goal curriculum for the whole run (the "
+        "demonstration regime; default switches to bin goals after "
+        "--curriculum-steps like the reference, env.py:244-249)",
+    )
+    p.add_argument("--distance-threshold", type=float, default=0.01,
+                   help="success radius in meters (reference env.py:241)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=20_000)
     p.add_argument("--resume", default=None)
@@ -64,7 +72,8 @@ def main():
             her_episodes=args.her_episodes,
             her_ratio=args.her_ratio,
             utd=args.utd,
-            curriculum_steps=args.curriculum_steps,
+            curriculum_steps=(1 << 30) if args.near_cube_only else args.curriculum_steps,
+            distance_threshold=args.distance_threshold,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             hull_contacts=args.hull_contacts,

@@ -17,31 +17,14 @@ Keys (joint mode, teleop.py's map): a/z s/x d/c f/v g/b h/n nudge joints
 """
 
 import argparse
-import io
-import json
 import os
 import sys
 import threading
 import time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
-
-PAGE = """<!doctype html>
-<html><head><title>gym_so100_tpu viewer</title><style>
-body { background:#111; color:#ddd; font-family: monospace; text-align:center }
-img { image-rendering: pixelated; width: 640px; border: 1px solid #444 }
-</style></head><body>
-<h3>gym_so100_tpu — %(mode)s viewer (camera: %(camera)s)</h3>
-<img src="/stream">
-<p id="st">%(help)s</p>
-<script>
-document.addEventListener('keydown', (e) => {
-  fetch('/key', {method: 'POST', body: JSON.stringify({key: e.key})});
-});
-</script></body></html>"""
 
 
 def main():
@@ -59,8 +42,6 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-    from PIL import Image  # noqa: E402
 
     from gym_so100_tpu.envs import constants as C  # noqa: E402
     from gym_so100_tpu.envs.gym_env import ASSETS_DIR, _cached_model  # noqa: E402
@@ -121,6 +102,20 @@ def main():
                 elif key == "0":
                     state["pose"][:] = start
 
+    from gym_so100_tpu.render.mjpeg import MjpegServer  # noqa: E402
+
+    server = MjpegServer(
+        port=args.port, fps=args.fps,
+        title=(
+            f"gym_so100_tpu — "
+            f"{'EE mocap' if args.ee else 'joint-space'} viewer "
+            f"(camera: {args.camera})"
+        ),
+        help_text=("arrows/+-: move target, o/p: gripper" if args.ee
+                   else "a/z s/x d/c f/v g/b h/n: joints, 0: home"),
+        key_handler=on_key,
+    )
+
     def sim_loop():
         dt = 1.0 / args.fps
         while True:
@@ -138,71 +133,12 @@ def main():
             )
             with lock:
                 state["s"] = s2
-                state["frame"] = frame
+            server.publish(frame)
             time.sleep(max(0.0, dt - (time.time() - t0)))
 
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
-
-        def do_GET(self):
-            if self.path == "/":
-                body = (PAGE % dict(
-                    mode="EE mocap" if args.ee else "joint-space",
-                    camera=args.camera,
-                    help=("arrows/+-: move target, o/p: gripper" if args.ee
-                          else "a/z s/x d/c f/v g/b h/n: joints, 0: home"),
-                )).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "text/html")
-                self.end_headers()
-                self.wfile.write(body)
-            elif self.path == "/stream":
-                self.send_response(200)
-                self.send_header(
-                    "Content-Type",
-                    "multipart/x-mixed-replace; boundary=frame",
-                )
-                self.end_headers()
-                try:
-                    while True:
-                        with lock:
-                            frame = state.get("frame")
-                        if frame is not None:
-                            buf = io.BytesIO()
-                            Image.fromarray(frame).save(buf, "JPEG", quality=85)
-                            jpg = buf.getvalue()
-                            self.wfile.write(b"--frame\r\n")
-                            self.send_header("Content-Type", "image/jpeg")
-                            self.send_header("Content-Length", str(len(jpg)))
-                            self.end_headers()
-                            self.wfile.write(jpg)
-                            self.wfile.write(b"\r\n")
-                        time.sleep(1.0 / args.fps)
-                except (BrokenPipeError, ConnectionResetError):
-                    pass
-            else:
-                self.send_response(404)
-                self.end_headers()
-
-        def do_POST(self):
-            if self.path == "/key":
-                n = int(self.headers.get("Content-Length", 0))
-                try:
-                    key = json.loads(self.rfile.read(n))["key"]
-                    on_key(key)
-                except Exception:
-                    pass
-                self.send_response(204)
-                self.end_headers()
-            else:
-                self.send_response(404)
-                self.end_headers()
-
     threading.Thread(target=sim_loop, daemon=True).start()
-    srv = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
     print(f"viewer: http://localhost:{args.port}  (ctrl-c to quit)", flush=True)
-    srv.serve_forever()
+    server.serve_forever()
 
 
 if __name__ == "__main__":

@@ -18,6 +18,14 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
+class _FakeImageWriter:
+    def __init__(self):
+        self.waits = 0
+
+    def wait_until_done(self):
+        self.waits += 1
+
+
 class FakeLeRobotDataset:
     created = None
 
@@ -30,6 +38,8 @@ class FakeLeRobotDataset:
         self.episode_lengths = []
         self._ep_frames = 0
         self.pushed = False
+        self.image_writer = _FakeImageWriter()
+        self.buffer_clears = 0
 
     @classmethod
     def create(cls, repo_id, fps, features, use_videos):
@@ -45,27 +55,54 @@ class FakeLeRobotDataset:
         self.episode_lengths.append(self._ep_frames)
         self._ep_frames = 0
 
+    def clear_episode_buffer(self):
+        self.buffer_clears += 1
+
     def push_to_hub(self):
         self.pushed = True
 
 
-@pytest.fixture()
-def fake_lerobot(monkeypatch):
+@pytest.fixture(params=["flat", "legacy"])
+def fake_lerobot(request, monkeypatch):
+    """Mount the fake under BOTH lerobot namespace layouts.
+
+    "flat" is what the reference imports (lerobot >= 0.2,
+    upload_lerobot_demos.py:8: lerobot.datasets.lerobot_dataset); "legacy"
+    is the pre-0.2 lerobot.common. prefix that the interop falls back to.
+    """
     root = types.ModuleType("lerobot")
-    common = types.ModuleType("lerobot.common")
-    datasets = types.ModuleType("lerobot.common.datasets")
-    ldm = types.ModuleType("lerobot.common.datasets.lerobot_dataset")
+    if request.param == "flat":
+        datasets = types.ModuleType("lerobot.datasets")
+        ldm = types.ModuleType("lerobot.datasets.lerobot_dataset")
+        names = (
+            ("lerobot", root),
+            ("lerobot.datasets", datasets),
+            ("lerobot.datasets.lerobot_dataset", ldm),
+        )
+        root.datasets = datasets
+        datasets.lerobot_dataset = ldm
+    else:
+        common = types.ModuleType("lerobot.common")
+        datasets = types.ModuleType("lerobot.common.datasets")
+        ldm = types.ModuleType("lerobot.common.datasets.lerobot_dataset")
+        names = (
+            ("lerobot", root),
+            ("lerobot.common", common),
+            ("lerobot.common.datasets", datasets),
+            ("lerobot.common.datasets.lerobot_dataset", ldm),
+        )
+        root.common = common
+        common.datasets = datasets
+        datasets.lerobot_dataset = ldm
     ldm.LeRobotDataset = FakeLeRobotDataset
-    root.common = common
-    common.datasets = datasets
-    datasets.lerobot_dataset = ldm
-    for name, mod in (
-        ("lerobot", root),
-        ("lerobot.common", common),
-        ("lerobot.common.datasets", datasets),
-        ("lerobot.common.datasets.lerobot_dataset", ldm),
-    ):
+    for name, mod in names:
         monkeypatch.setitem(sys.modules, name, mod)
+    # make sure the OTHER layout isn't importable from a previous test
+    other = (
+        "lerobot.common.datasets.lerobot_dataset"
+        if request.param == "flat" else "lerobot.datasets.lerobot_dataset"
+    )
+    monkeypatch.delitem(sys.modules, other, raising=False)
     FakeLeRobotDataset.created = None
     return root
 
@@ -105,6 +142,10 @@ def test_demos_to_lerobot_dataset(fake_lerobot, tmp_path):
     assert ds.pushed
     assert ds.episode_lengths == [3, 2]            # episode boundaries
     assert len(ds.frames) == 5
+    # reference per-episode flow (upload_lerobot_demos.py:209-213): writer
+    # drained and buffer cleared once per saved episode
+    assert ds.image_writer.waits == 2
+    assert ds.buffer_clears == 2
 
     frame0, task0 = ds.frames[0]
     assert task0 == "Put the red cube into the bin"
@@ -185,3 +226,39 @@ def test_rollout_policy(fake_lerobot):
     np.testing.assert_allclose(
         np.asarray(b0["observation.state"][0]), want, rtol=1e-5, atol=1e-5
     )
+
+
+def _real_lerobot_available():
+    import importlib.util
+
+    return importlib.util.find_spec("lerobot") is not None
+
+
+@pytest.mark.skipif(
+    not _real_lerobot_available(),
+    reason="real lerobot not installed in this image (no network egress); "
+    "the API pin is recorded in interop/lerobot.py and exercised by the "
+    "fake-module harness above",
+)
+def test_real_lerobot_dataset_roundtrip(tmp_path):
+    """When the real package IS present, run the converter against it."""
+    import pickle
+
+    from gym_so100_tpu.interop.lerobot import demos_to_lerobot_dataset
+
+    rng = np.random.RandomState(0)
+    T = 2
+    demo = [{
+        "observations": [
+            {"agent_pos": rng.uniform(-1, 1, 6).astype(np.float32)}
+            for _ in range(T)
+        ],
+        "actions": rng.uniform(-1, 1, (T, 6)).astype(np.float32),
+        "rewards": np.asarray([1.0, 4.0], np.float32),
+        "infos": [{} for _ in range(T)],
+    }]
+    path = tmp_path / "demo.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(demo, f)
+    ds = demos_to_lerobot_dataset([str(path)], "test/roundtrip", fps=50)
+    assert ds.meta.total_frames == T or len(ds) == T

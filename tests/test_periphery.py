@@ -138,3 +138,76 @@ def test_scripts_importable():
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)  # imports run; main() guarded
         assert hasattr(mod, "main")
+
+
+def test_mjpeg_server_stream_and_keys():
+    """The recorder/viewer visual channel: page, MJPEG stream, browser
+    keydown forwarding (the reference's cv2 window analog,
+    /root/reference/scripts/record_teleop.py:158-494)."""
+    import http.client
+    import json
+
+    from gym_so100_tpu.render.mjpeg import MjpegServer
+
+    keys = []
+    srv = MjpegServer(
+        port=0, fps=30.0, title="t", help_text="h", key_handler=keys.append
+    ).start()
+    try:
+        frame = np.zeros((8, 8, 3), np.uint8)
+        frame[:, :, 0] = 255
+        srv.publish(frame)
+
+        conn = http.client.HTTPConnection("localhost", srv.port, timeout=5)
+        conn.request("GET", "/")
+        r = conn.getresponse()
+        assert r.status == 200 and b"t" in r.read()
+
+        conn2 = http.client.HTTPConnection("localhost", srv.port, timeout=5)
+        conn2.request("GET", "/stream")
+        r2 = conn2.getresponse()
+        assert r2.status == 200
+        assert "multipart/x-mixed-replace" in r2.getheader("Content-Type")
+        chunk = r2.read(400)           # one boundary + jpeg header
+        assert b"--frame" in chunk and b"image/jpeg" in chunk
+        assert b"\xff\xd8" in chunk    # JPEG SOI marker
+        conn2.close()
+
+        conn3 = http.client.HTTPConnection("localhost", srv.port, timeout=5)
+        body = json.dumps({"key": "a"})
+        conn3.request("POST", "/key", body=body)
+        assert conn3.getresponse().status == 204
+        assert keys == ["a"]
+    finally:
+        srv.stop()
+
+
+def test_keyboard_inject_drives_recorder_loop(monkeypatch):
+    """Browser keys injected into KeyboardController act exactly like
+    terminal keys on the next update() (the --watch recording loop)."""
+    import io
+    import os as _os
+    import sys as _sys
+
+    from gym_so100_tpu.teleop.input import KeyboardController
+
+    # update() drains stdin via select; point stdin at an empty pipe so the
+    # injected-queue path is isolated and select never blocks
+    rfd, wfd = _os.pipe()
+    monkeypatch.setattr(_sys, "stdin", _os.fdopen(rfd, "r"))
+
+    ctl = KeyboardController()
+    ctl.inject("a")
+    ctl.inject("a")
+    ctl.inject("z")
+    ctl.update()
+    assert abs(ctl.joint_deltas[0] - ctl.step) < 1e-9   # +2 -1 steps
+    ctl.update()
+    assert ctl.joint_deltas[0] == 0.0                   # deltas are per-tick
+    ctl.inject("1")
+    ctl.update()
+    assert ctl.episode_end_status == "success"
+    ctl.inject("q")
+    ctl.update()
+    assert not ctl.running
+    _os.close(wfd)
