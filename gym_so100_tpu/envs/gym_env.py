@@ -33,17 +33,24 @@ _MODEL_CACHE = {}
 
 
 def _cached_model(xml_path, dtype_key):
-    key = (xml_path, dtype_key)
+    key = (xml_path, dtype_key, os.environ.get("GST_MAX_CONTACTS", "32"))
     if key not in _MODEL_CACHE:
         # f64 (the single-env parity configuration) gets the exact-hull
         # multi-point manifold collider (build_model docstring); the f32
         # throughput path keeps decimated single-point hull contacts and a
-        # K=16 contact buffer: the reference MuJoCo engine measured over 3
-        # full random-action CubeToBin episodes (2,100 steps) peaks at
-        # ncon=7 (p99 5, mean 2.8), so 16 keeps >2x headroom while nearly
-        # halving solver rows (PERF_NOTES "round 3")
+        # fixed-K contact buffer.  K default (round 5): **32**.  Random-
+        # action episodes peak at MuJoCo ncon=7 (p99 5, mean 2.8) and K=16
+        # gave 2x headroom there, but the round-4 1.5M-step TRAINED SAC
+        # policy reached ncon=27 (artifacts/sac_touchcube_curve.jsonl) —
+        # trained policies press the gripper/cube/table together far harder
+        # than random actions, and a saturated buffer silently drops the
+        # shallowest contacts.  Training and general env use therefore
+        # default to the trained-policy-safe K=32; GST_MAX_CONTACTS
+        # overrides (bench.py publishes K=16 and K=32 numbers side by
+        # side, PERF_NOTES round 5).
         if dtype_key == "float32":
-            m, aux = build_model(xml_path, max_contacts=16)
+            K = int(os.environ.get("GST_MAX_CONTACTS", "32"))
+            m, aux = build_model(xml_path, max_contacts=K)
             m = m.astype(jnp.float32)
         else:
             m, aux = build_model(xml_path, ccd_manifolds=True)
