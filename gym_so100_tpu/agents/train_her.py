@@ -82,12 +82,26 @@ class HERConfig:
     checkpoint_every: int = 20_000
     hull_contacts: bool = True     # full contact set, same as TrainConfig
     max_episode_steps: int = T_MAX
+    goal_min_dist: float = 0.0     # minimum distance between a sampled goal
+                                   # and the cube's REST site estimate: with
+                                   # 0 (the reference behavior) ~3% of
+                                   # near-cube goals land within the success
+                                   # threshold of where the cube settles on
+                                   # its own, and those zero-skill episodes
+                                   # ARE the r4 "random baseline" success
+                                   # floor.  >0 pushes such goals radially
+                                   # out so every success requires moving
+                                   # the cube (demonstration lever, not a
+                                   # reference semantic).
 
 
-def _sample_goal(key, box_pose, total, curriculum_steps, dtype):
+def _sample_goal(key, box_pose, total, curriculum_steps, dtype,
+                 goal_min_dist=0.0):
     """Goal curriculum (env.py:244-249,322-334): first `curriculum_steps`
     TOTAL env steps sample within +-0.03 xy of the cube spawn, z in
-    [0.01, 0.05]; afterwards the bin interior box."""
+    [0.01, 0.05]; afterwards the bin interior box.  `goal_min_dist` > 0
+    additionally pushes goals that land within that radius of the cube's
+    rest site estimate radially outward (see HERConfig.goal_min_dist)."""
     u = jax.random.uniform(key, (3,), dtype)
     near_lo = jnp.stack([box_pose[0] - 0.03, box_pose[1] - 0.03,
                          jnp.asarray(0.01, dtype)])
@@ -102,7 +116,20 @@ def _sample_goal(key, box_pose, total, curriculum_steps, dtype):
     early = total < curriculum_steps
     lo = jnp.where(early, near_lo, bin_lo)
     hi = jnp.where(early, near_hi, bin_hi)
-    return lo + u * (hi - lo)
+    g = lo + u * (hi - lo)
+    if goal_min_dist > 0.0:
+        # cube rest site: spawn xy + the (0.01, 0.01, 0.01) site offset,
+        # z = cube half-extent 0.02 + 0.01 once settled on the table
+        rest = jnp.stack([box_pose[0] + 0.01, box_pose[1] + 0.01,
+                          jnp.asarray(0.03, dtype)])
+        delta = g - rest
+        dist = jnp.linalg.norm(delta)
+        g = jnp.where(
+            dist < goal_min_dist,
+            rest + delta * (goal_min_dist / jnp.maximum(dist, 1e-6)),
+            g,
+        )
+    return g
 
 
 class HERTrainer:
@@ -134,7 +161,8 @@ class HERTrainer:
         keys = jax.random.split(k2, self.cfg.num_envs)
         goal = jax.vmap(
             lambda k, bp: _sample_goal(
-                k, bp, jnp.int32(0), self.cfg.curriculum_steps, dtype
+                k, bp, jnp.int32(0), self.cfg.curriculum_steps, dtype,
+                self.cfg.goal_min_dist,
             )
         )(keys, es.box_pose)
         B = self.cfg.num_envs
@@ -183,7 +211,8 @@ class HERTrainer:
         dtype = es3.box_pose.dtype
         new_goal = jax.vmap(
             lambda k, bp: _sample_goal(
-                k, bp, genv.total, cfg.curriculum_steps, dtype
+                k, bp, genv.total, cfg.curriculum_steps, dtype,
+                cfg.goal_min_dist,
             )
         )(gk, es3.box_pose).astype(jnp.float32)
         goal2 = jnp.where(done[:, None], new_goal, genv.goal)
@@ -257,10 +286,13 @@ class HERTrainer:
         metrics = {}
         if learn:
             zero = jnp.zeros((), jnp.float32)
-            # utd gradient updates per env-batch step (resampled batch
-            # each; same ratio rationale as Trainer._rollout_impl)
-            for u in range(max(1, cfg.utd)):
-                k_sample, k_u = jax.random.split(k_sample)
+
+            # utd gradient updates per env-batch step, as a lax.scan so a
+            # high update-to-data ratio (the SB3 reference does ONE update
+            # per ENV step — at 256 envs that is utd=256, train_sac_her.py
+            # DummyVecEnv default) compiles in constant time instead of
+            # unrolling utd SAC updates into the step graph.
+            def one_update(s, k_u):
                 batch = her.sample(
                     k_u, self.sac.cfg.batch_size, cfg.her_ratio,
                     cfg.distance_threshold,
@@ -272,7 +304,7 @@ class HERTrainer:
                         k: v.astype(jnp.float32) for k, v in mt.items()
                     }
 
-                sac, metrics = jax.lax.cond(
+                return jax.lax.cond(
                     her.n_eps > 0,  # no complete episodes yet -> skip update
                     do_update,
                     lambda s: (
@@ -281,8 +313,12 @@ class HERTrainer:
                              alpha=jnp.exp(s.log_alpha).astype(jnp.float32),
                              entropy=zero),
                     ),
-                    sac,
+                    s,
                 )
+
+            keys = jax.random.split(k_sample, max(1, cfg.utd))
+            sac, mseq = jax.lax.scan(one_update, sac, keys)
+            metrics = jax.tree_util.tree_map(lambda x: x[-1], mseq)
         ts2 = HERTrainState(
             sac=sac, her=her, genv=genv2,
             st_obs=st_obs, st_act=st_act, st_next=st_next, st_agoal=st_agoal,
@@ -299,6 +335,12 @@ class HERTrainer:
                     agoal[:, :2] - ts.genv.es.box_pose[:, :2], axis=-1
                 ) > 0.005
             ).astype(jnp.float32).mean(),
+            # episode-level capability signal: of the episodes that ENDED
+            # this step, how many ended in success (vs truncation) — the
+            # per-step success_rate divides by episode length and so
+            # understates capability ~300x at full-length episodes
+            "ep_done": done.astype(jnp.float32).sum(),
+            "ep_succ": success.astype(jnp.float32).sum(),
         }
         metrics = {**metrics, **diag}
         return ts2, reward, success, metrics
@@ -329,7 +371,7 @@ class HERTrainer:
         key = jax.random.PRNGKey(seed + 2)
         steps = 0
         t0 = time.time()
-        succ_acc, rew_acc = [], []
+        succ_acc, rew_acc, epd_acc, eps_acc = [], [], [], []
         while steps * cfg.num_envs < cfg.total_steps:
             key, sub = jax.random.split(key)
             if steps * cfg.num_envs < cfg.learning_starts:
@@ -339,20 +381,26 @@ class HERTrainer:
             steps += 1
             rew_acc.append(rew)
             succ_acc.append(succ)
+            epd_acc.append(metrics.pop("ep_done", jnp.zeros(())))
+            eps_acc.append(metrics.pop("ep_succ", jnp.zeros(())))
             if steps % cfg.log_every == 0:
+                n_done = float(jnp.stack(epd_acc).sum())
+                n_succ = float(jnp.stack(eps_acc).sum())
                 line = {
                     "env_steps": steps * cfg.num_envs,
                     "mean_reward": round(float(jnp.stack(rew_acc).mean()), 4),
                     "success_rate": round(
                         float(jnp.stack(succ_acc).astype(jnp.float32).mean()), 4
                     ),
+                    "ep_success_rate": round(n_succ / max(n_done, 1.0), 4),
+                    "episodes_done": int(n_done),
                     "episodes_stored": int(ts.her.n_eps),
                     "sps": round(steps * cfg.num_envs / (time.time() - t0), 1),
                 }
                 for k, v in metrics.items():
                     line[k] = round(float(v), 4)
                 progress(line)
-                rew_acc, succ_acc = [], []
+                succ_acc, rew_acc, epd_acc, eps_acc = [], [], [], []
             if (
                 cfg.checkpoint_dir
                 and steps % max(1, cfg.checkpoint_every // cfg.num_envs) == 0

@@ -133,7 +133,12 @@ def _sweep_h_pallas(p, R, verts_np, buckets, Dset, i1, i2, dtype, B):
     P = int(i1.shape[0])
     ND = Dset.shape[0]
     Vmax = verts_np.shape[1]
-    Bt = max((bt for bt in (256, 128) if B % bt == 0), default=0)
+    # VMEM budget (~16 MB/core scoped limit): the live set is the two
+    # (G, ND, Bt) support tables = 2*G*ND*Bt*4 B plus temporaries and
+    # double-buffered IO blocks.  Measured by the on-chip compiler's scoped
+    # accounting: Bt=256 -> 16.69 MB (OOM by 4%), so the default is 128
+    # (~8.3 MB); GST_PALLAS_HULL_BT overrides for larger-VMEM parts.
+    Bt = max((bt for bt in (128,) if B % bt == 0), default=0)
     Bt = int(_os.environ.get("GST_PALLAS_HULL_BT", Bt) or Bt)
 
     p_pack = jnp.concatenate(p, axis=0)                      # (3G, B)
@@ -148,40 +153,48 @@ def _sweep_h_pallas(p, R, verts_np, buckets, Dset, i1, i2, dtype, B):
     D_in = jnp.asarray(Dset, dtype)                          # (ND, 3)
     i1l, i2l = i1.tolist(), i2.tolist()
 
+    # per-geom true vertex counts from the bucket ranges
+    Vg = [0] * G
+    for lo, hi, V in buckets:
+        for gi in range(lo, hi):
+            Vg[gi] = V
+
     def kernel(p_ref, R_ref, verts_ref, D_ref, out_ref):
-        pv = [p_ref[k * G:(k + 1) * G] for k in range(3)]    # (G, Bt)
-        Rv = [
-            [R_ref[(j * 3 + k) * G:(j * 3 + k + 1) * G] for k in range(3)]
-            for j in range(3)
-        ]
         Dj = [D_ref[:, j:j + 1] for j in range(3)]           # (ND, 1)
 
+        # Per-geom support tables, computed one geom at a time so the only
+        # long-lived VMEM arrays are the 2*G (ND, Bt) tables themselves
+        # (the per-bucket (ND, Gb, Bt) form kept ~3x more live and OOMed
+        # the 16 MB scoped VMEM on chip).  Numerics identical: same
+        # summation order (j then k), same truncated chains.
         Tt = [None] * G                                      # per-geom (ND, Bt)
         Tb = [None] * G
-        for lo, hi, V in buckets:
-            Rb = [[Rv[j][k][lo:hi] for k in range(3)] for j in range(3)]
-            # local direction components ld[k] (ND, Gb, Bt)
+        for gi in range(G):
+            row = lambda j, k: R_ref[
+                (j * 3 + k) * G + gi:(j * 3 + k) * G + gi + 1
+            ]                                                # (1, Bt)
             ld = [
-                sum(Dj[j][:, None] * Rb[j][k][None] for j in range(3))
+                sum(Dj[j] * row(j, k) for j in range(3))     # (ND, Bt)
                 for k in range(3)
             ]
 
             def s_of(v):
-                vc = [verts_ref[lo:hi, v * 3 + k:v * 3 + k + 1] for k in range(3)]
-                return sum(ld[k] * vc[k][None] for k in range(3))
+                return sum(
+                    ld[k] * verts_ref[gi:gi + 1, v * 3 + k:v * 3 + k + 1]
+                    for k in range(3)
+                )
 
             smax = s_of(0)
             smin = smax
-            for v in range(1, V):
+            for v in range(1, Vg[gi]):
                 s = s_of(v)
                 smax = jnp.maximum(smax, s)
                 smin = jnp.minimum(smin, s)
-            dp = sum(Dj[j][:, None] * pv[j][lo:hi][None] for j in range(3))
-            smax = smax + dp
-            smin = smin + dp
-            for gi in range(lo, hi):
-                Tt[gi] = smax[:, gi - lo, :]
-                Tb[gi] = smin[:, gi - lo, :]
+            dp = sum(
+                Dj[j] * p_ref[j * G + gi:j * G + gi + 1] for j in range(3)
+            )
+            Tt[gi] = smax + dp
+            Tb[gi] = smin + dp
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (ND, Bt), 0)
         nd_big = jnp.full((ND, Bt), ND, jnp.int32)

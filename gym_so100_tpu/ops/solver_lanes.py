@@ -336,8 +336,12 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
     nlp = ns - neq - nf                      # limits incl. tile padding
     K = efc.con_mu.shape[0]
     ntri = nv * (nv + 1) // 2
+    # VMEM budget (~16 MB scoped): the dominant resident is the J block
+    # (nv*NE rows; ~1.9k rows at K=32) read once per tile plus its in-kernel
+    # working copy — at Bt=512 that alone is ~7.5 MB double-buffered + 3.7 MB
+    # live and the whole set brushes the limit, so default to 256.
     Bt = max(
-        (bt for bt in (512, 256, 128) if B % bt == 0),
+        (bt for bt in (256, 128) if B % bt == 0),
         default=0,
     )
     Bt = int(_os.environ.get("GST_PALLAS_BT", Bt) or Bt)

@@ -45,6 +45,13 @@ def main():
     )
     p.add_argument("--distance-threshold", type=float, default=0.01,
                    help="success radius in meters (reference env.py:241)")
+    p.add_argument(
+        "--goal-min-dist", type=float, default=0.0,
+        help="push sampled goals at least this far from the cube's rest "
+        "site so no episode succeeds without moving the cube (0 = the "
+        "reference behavior, where ~3%% of near-cube goals are zero-skill "
+        "freebies; demonstration lever, see HERConfig.goal_min_dist)",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=20_000)
     p.add_argument("--resume", default=None)
@@ -74,6 +81,7 @@ def main():
             utd=args.utd,
             curriculum_steps=(1 << 30) if args.near_cube_only else args.curriculum_steps,
             distance_threshold=args.distance_threshold,
+            goal_min_dist=args.goal_min_dist,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             hull_contacts=args.hull_contacts,
