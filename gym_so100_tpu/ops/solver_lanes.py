@@ -361,7 +361,22 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
          jnp.zeros((n_aux_pad - n_aux, B), dtype)],
         axis=0,
     )
-    usc = efc.con_uscale.reshape(K * CDIM, B)
+    # Contact rows repacked COMPONENT-MAJOR (row j*K + ki instead of
+    # ki*CDIM + j): Mosaic compiles 2-D (K, Bt) vectors natively, while
+    # the 3-D (K, CDIM, Bt) reshape/middle-axis-broadcast form produced
+    # implicit-dim replicated layouts it cannot relayout ("Invalid
+    # relayout ... vector<16x256xf32>" on-chip, round 5).  The same row
+    # order is applied to J/aref/D/uscale and the in-kernel force vector,
+    # so every row contraction is order-invariant.
+    def cmajor(A):
+        con = A[ns:].reshape(K, CDIM, B)
+        return jnp.concatenate(
+            [A[:ns]] + [con[:, j] for j in range(CDIM)], axis=0
+        )
+
+    usc = jnp.concatenate(
+        [efc.con_uscale[:, j] for j in range(CDIM)], axis=0
+    )                                                    # (CDIM*K, B)
     qMl = jnp.stack(
         [qM[i][j] for i in range(nv) for j in range(i + 1)], axis=0
     )                                                    # (ntri, B)
@@ -378,11 +393,12 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
         mu = aux_ref[o_mu:o_mu + K]
         Dn = aux_ref[o_dn:o_dn + K]
         scl = aux_ref[o_sc:o_sc + 1]
-        us = us_ref[:].reshape(K, CDIM, Bt)
-        ust = us[:, 1:]
+        us = [us_ref[j * K:(j + 1) * K] for j in range(CDIM)]  # CDIM x (K, Bt)
         lim = fl * Rf
-        D_s = Dv[:ns]
-        D_c = Dv[ns:].reshape(K, CDIM, Bt)
+        D_c = [Dv[ns + j * K:ns + (j + 1) * K] for j in range(CDIM)]
+
+        def con_rows(arr):                                # (NE, Bt) -> comps
+            return [arr[ns + j * K:ns + (j + 1) * K] for j in range(CDIM)]
         # full symmetric qM view from the lower-tri pack
         qMt = [[None] * nv for _ in range(nv)]
         r = 0
@@ -406,20 +422,35 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
             ]
 
         def cone_terms(jar):
-            """Shared cone-zone quantities at jar (mirrors _cost_terms)."""
-            jar_c = jar[ns:].reshape(K, CDIM, Bt)
-            u = jar_c * us
-            un = u[:, 0]
-            ut = u[:, 1:]
-            Traw = jnp.sqrt(jnp.sum(ut * ut, axis=1))
+            """Shared cone-zone quantities at jar (mirrors _cost_terms).
+
+            All (K, Bt) 2-D arrays; `jar_c`/`uhat` are CDIM-length (resp.
+            CDIM-1) component lists."""
+            jar_c = con_rows(jar)
+            u = [jar_c[j] * us[j] for j in range(CDIM)]
+            un = u[0]
+            Traw = jnp.sqrt(sum(u[j] * u[j] for j in range(1, CDIM)))
             T = jnp.maximum(Traw, jnp.asarray(1e-30, dtype))
             bottom = mu * Traw <= un
             topz = (Traw <= -mu * un) & (Dn > 0)
             middle = ~(bottom | (Traw <= -mu * un)) & (Dn > 0)
             w = mu * Traw - un
             k = Dn / (1 + mu * mu)
-            uhat = ut / T[:, None]
-            return jar_c, un, ut, T, topz, middle, w, k, uhat
+            uhat = [u[j] / T for j in range(1, CDIM)]
+            return jar_c, un, T, topz, middle, w, k, uhat
+
+        def grad_con(jar_c, topz, middle, w, k, uhat):
+            """Per-component contact-row gradient (CDIM x (K, Bt)): the
+            component-list form of topz*D_c*jar_c + middle*(k w)*g_mid*us
+            with g_mid = (-1, mu*uhat)."""
+            kw = jnp.where(middle, k * w, 0.0)
+            g = [jnp.where(topz, D_c[0] * jar_c[0], 0.0) - kw * us[0]]
+            for j in range(1, CDIM):
+                g.append(
+                    jnp.where(topz, D_c[j] * jar_c[j], 0.0)
+                    + kw * mu * uhat[j - 1] * us[j]
+                )
+            return g
 
         def scalar_grads(jar):
             """Per-segment scalar-row gradients (zeros where inactive)."""
@@ -462,8 +493,12 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
                     jnp.where(jl < 0, 0.5 * Dv[neq + nf:ns] * jl * jl, 0.0),
                     axis=0, keepdims=True,
                 )
-            jar_c, un, ut, T, topz, middle, w, k, uhat = cone_terms(jar)
-            cc = jnp.where(topz, 0.5 * jnp.sum(D_c * jar_c * jar_c, 1), 0.0)
+            jar_c, un, T, topz, middle, w, k, uhat = cone_terms(jar)
+            cc = jnp.where(
+                topz,
+                0.5 * sum(D_c[j] * jar_c[j] * jar_c[j] for j in range(CDIM)),
+                0.0,
+            )
             cc = cc + jnp.where(middle, 0.5 * k * w * w, 0.0)
             c = c + jnp.sum(cc, axis=0, keepdims=True)
             dx = [xs[i] - x0v[i] for i in range(nv)]
@@ -480,18 +515,16 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
         )                                                  # (nv, Bt)
 
         def newton_body(_, carry):
-            xmat, it, done, cost_prev = carry
+            # `done` is carried as f32 0/1, not bool: an i1 (1, Bt) loop
+            # carry makes Mosaic emit malformed mask IR it cannot legalize
+            # ("failed to legalize operation", on-chip round 5).
+            xmat, it, done_f, cost_prev = carry
+            done = done_f > 0.5
             xs = [xmat[i:i + 1] for i in range(nv)]
             jar = jar_of(xs)
             sg = scalar_grads(jar)
-            jar_c, un, ut, T, topz, middle, w, k, uhat = cone_terms(jar)
-            g_mid_u = jnp.concatenate(
-                [-jnp.ones_like(un)[:, None], mu[:, None] * uhat], axis=1
-            )
-            grad_c = (
-                topz[:, None] * D_c * jar_c
-                + middle[:, None] * (k * w)[:, None] * g_mid_u * us
-            )
+            jar_c, un, T, topz, middle, w, k, uhat = cone_terms(jar)
+            grad_c = grad_con(jar_c, topz, middle, w, k, uhat)
             # constraint cost at xs (for the improvement test)
             cost_con = jnp.zeros((1, Bt), dtype)
             if neq:
@@ -514,7 +547,11 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
                     jnp.where(jl < 0, 0.5 * Dv[neq + nf:ns] * jl * jl, 0.0),
                     axis=0, keepdims=True,
                 )
-            cc = jnp.where(topz, 0.5 * jnp.sum(D_c * jar_c * jar_c, 1), 0.0)
+            cc = jnp.where(
+                topz,
+                0.5 * sum(D_c[j] * jar_c[j] * jar_c[j] for j in range(CDIM)),
+                0.0,
+            )
             cc = cc + jnp.where(middle, 0.5 * k * w * w, 0.0)
             cost_con = cost_con + jnp.sum(cc, axis=0, keepdims=True)
 
@@ -533,8 +570,10 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
                 jl = jar[neq + nf:ns]
                 pieces_g.append(sg["gl"])
                 pieces_h.append(jnp.where(jl < 0, Dv[neq + nf:ns], 0.0))
-            pieces_g.append(grad_c.reshape(K * CDIM, Bt))
-            pieces_h.append((topz[:, None] * D_c).reshape(K * CDIM, Bt))
+            pieces_g.extend(grad_c)                       # component-major
+            pieces_h.extend(
+                jnp.where(topz, D_c[j], 0.0) for j in range(CDIM)
+            )
             g_all = jnp.concatenate(pieces_g, axis=0)     # (NE, Bt)
             w_diag = jnp.concatenate(pieces_h, axis=0)    # (NE, Bt)
 
@@ -546,13 +585,24 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
                 for i in range(nv)
             ]
 
-            # middle-zone rank-1 pieces
-            g_u = g_mid_u * us                             # (K, CDIM, Bt)
-            kk = k * middle
-            Jc = [J[v][ns:].reshape(K, CDIM, Bt) for v in range(nv)]
-            a_ = [jnp.sum(g_u * Jc[v], axis=1) for v in range(nv)]
-            SJt = [ust * Jc[v][:, 1:] for v in range(nv)]
-            proj = [jnp.sum(uhat * SJt[v], axis=1) for v in range(nv)]
+            # middle-zone rank-1 pieces (component lists, all (K, Bt))
+            g_u = [-us[0]] + [
+                mu * uhat[j - 1] * us[j] for j in range(1, CDIM)
+            ]
+            kk = jnp.where(middle, k, 0.0)
+            Jc = [con_rows(J[v]) for v in range(nv)]
+            a_ = [
+                sum(g_u[j] * Jc[v][j] for j in range(CDIM))
+                for v in range(nv)
+            ]
+            SJt = [
+                [us[j] * Jc[v][j] for j in range(1, CDIM)]
+                for v in range(nv)
+            ]
+            proj = [
+                sum(uhat[t] * SJt[v][t] for t in range(CDIM - 1))
+                for v in range(nv)
+            ]
             wmu = kk * w * mu / T
 
             WJ = [w_diag * J[i] for i in range(nv)]
@@ -563,7 +613,10 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
                     g2 = jnp.sum(kk * a_[i] * a_[j], axis=0, keepdims=True)
                     g3 = jnp.sum(
                         wmu * (
-                            jnp.sum(SJt[i] * SJt[j], axis=1)
+                            sum(
+                                SJt[i][t] * SJt[j][t]
+                                for t in range(CDIM - 1)
+                            )
                             - proj[i] * proj[j]
                         ),
                         axis=0, keepdims=True,
@@ -608,7 +661,7 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
             djar = jnp.zeros((NE, Bt), dtype)
             for v in range(nv):
                 djar = djar + J[v] * dirn[v]
-            dj_c = djar[ns:].reshape(K, CDIM, Bt)
+            dj_c = con_rows(djar)
             Md = mat_vec(dirn)
             c1 = sum(dirn[i] * Mdx[i] for i in range(nv))
             c2 = sum(dirn[i] * Md[i] for i in range(nv))
@@ -629,16 +682,11 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
                     d1 = d1 + jnp.sum(
                         sga["gl"] * djar[neq + nf:ns], axis=0, keepdims=True
                     )
-                jc, una, uta, Ta, topa, mida, wa, ka, uha = cone_terms(jar_a)
-                gm = jnp.concatenate(
-                    [-jnp.ones_like(una)[:, None], mu[:, None] * uha], axis=1
-                )
-                gc = (
-                    topa[:, None] * D_c * jc
-                    + mida[:, None] * (ka * wa)[:, None] * gm * us
-                )
+                jc, una, Ta, topa, mida, wa, ka, uha = cone_terms(jar_a)
+                gc = grad_con(jc, topa, mida, wa, ka, uha)
                 return d1 + jnp.sum(
-                    jnp.sum(gc * dj_c, axis=1), axis=0, keepdims=True
+                    sum(gc[j] * dj_c[j] for j in range(CDIM)),
+                    axis=0, keepdims=True,
                 )
 
             one = jnp.ones((1, Bt), dtype)
@@ -690,11 +738,19 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
             )
             it2 = jnp.where(done, it, it + 1.0)
             cost2 = jnp.where(done, cost_prev, cost_new)
-            return x_mat2, it2, done | done_new, cost2
+            done_f2 = jnp.maximum(
+                done_f, jnp.where(done_new, it * 0.0 + 1.0, it * 0.0)
+            )
+            return x_mat2, it2, done_f2, cost2
 
+        # Loop-carry inits must be derived from loaded rows, not constant
+        # splats: Mosaic gives constants a replicated layout, the body
+        # returns concrete-layout rows, and the backedge relayout
+        # concrete -> replicated is unsupported ("Invalid relayout ...
+        # vector<1x256xf32>" on-chip).  scl is a loaded (1, Bt) row.
+        zrow = scl * 0.0
         carry = (
-            x_init, jnp.zeros((1, Bt), dtype), jnp.zeros((1, Bt), bool),
-            jnp.full((1, Bt), jnp.inf, dtype),
+            x_init, zrow, zrow, zrow + jnp.asarray(jnp.inf, dtype),
         )
         x_fin, niter, _, _ = jax.lax.fori_loop(
             0, max_iters, newton_body, carry
@@ -703,14 +759,8 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
         xs = [x_fin[i:i + 1] for i in range(nv)]
         jar = jar_of(xs)
         sg = scalar_grads(jar)
-        jar_c, un, ut, T, topz, middle, w, k, uhat = cone_terms(jar)
-        g_mid_u = jnp.concatenate(
-            [-jnp.ones_like(un)[:, None], mu[:, None] * uhat], axis=1
-        )
-        grad_c = (
-            topz[:, None] * D_c * jar_c
-            + middle[:, None] * (k * w)[:, None] * g_mid_u * us
-        )
+        jar_c, un, T, topz, middle, w, k, uhat = cone_terms(jar)
+        grad_c = grad_con(jar_c, topz, middle, w, k, uhat)
         pieces = []
         if neq:
             pieces.append(sg["ge"])
@@ -718,7 +768,7 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
             pieces.append(sg["gf"])
         if nlp:
             pieces.append(sg["gl"])
-        pieces.append(grad_c.reshape(K * CDIM, Bt))
+        pieces.extend(grad_c)                             # component-major
         force = jnp.concatenate(pieces, axis=0)
         qfrc = jnp.concatenate(
             [-jnp.sum(J[v] * force, axis=0, keepdims=True) for v in range(nv)],
@@ -731,7 +781,9 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
     rowspec = lambda n: pl.BlockSpec(
         (n, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    Jstack = jnp.concatenate(efc.J, axis=0)               # (nv*NE, B)
+    Jstack = jnp.concatenate(
+        [cmajor(Jv) for Jv in efc.J], axis=0
+    )                                                     # (nv*NE, B)
     out = pl.pallas_call(
         kernel,
         grid=(B // Bt,),
@@ -743,7 +795,7 @@ def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
         out_specs=rowspec(2 * nv + 1),
         out_shape=jax.ShapeDtypeStruct((2 * nv + 1, B), dtype),
         interpret=jax.default_backend() == "cpu",
-    )(Jstack, efc.aref, efc.D, aux, usc, qMl, x0, warm)
+    )(Jstack, cmajor(efc.aref), cmajor(efc.D), aux, usc, qMl, x0, warm)
     qacc = out[0:nv].T
     qfrc = out[nv:2 * nv].T
     niter = out[2 * nv].astype(jnp.int32)

@@ -79,9 +79,18 @@ class BatchedEnv:
                     "pixels obs mode needs render_aux (the aux dict from "
                     "build_model)"
                 )
+            import os as _os
+
             from ..render.rasterizer import Renderer
 
-            self._renderer = Renderer(m, render_aux, tri_chunk=128)
+            # obs-resolution frames (64x48 default) don't resolve the
+            # 700-tri/mesh detail the interactive viewer uses; 200 is
+            # visually equivalent at this scale and ~3x fewer triangles
+            # through the rasterization loop (GST_OBS_TRIS overrides)
+            self._renderer = Renderer(
+                m, render_aux, tri_chunk=128,
+                max_tris_per_mesh=int(_os.environ.get("GST_OBS_TRIS", "200")),
+            )
         elif obs_mode != "state":
             raise ValueError(f"unknown obs_mode {obs_mode!r}")
         self._step = jax.jit(self._step_impl)
@@ -109,20 +118,30 @@ class BatchedEnv:
         )
         truncated = es2.t >= self.max_episode_steps
         done = terminated | truncated
-        # auto-reset: next state fresh when done
-        fresh = jax.vmap(lambda k: core.reset(self.m, k))(es2.key)
-        es3 = jax.tree_util.tree_map(
-            lambda f, c: jnp.where(
-                jnp.reshape(done, done.shape + (1,) * (f.ndim - 1)), f, c
-            ),
-            fresh, es2,
-        )
+
+        # The whole autoreset branch (fresh-state sampling, its second
+        # kinematics/render pass, the merge) is gated on any(done): on the
+        # overwhelming majority of steps no lane resets and the branch is
+        # skipped at runtime (it used to cost ~4-6 ms/step at B=4096
+        # unconditionally, PERF_NOTES round-4 item 4).  Determinism is
+        # unaffected: the branch choice only changes the content of done
+        # lanes, and key advancement lives in step_batched.
+        def merge_fresh(es2):
+            fresh = jax.vmap(lambda k: core.reset(self.m, k))(es2.key)
+            es3 = jax.tree_util.tree_map(
+                lambda f, c: jnp.where(
+                    jnp.reshape(done, done.shape + (1,) * (f.ndim - 1)), f, c
+                ),
+                fresh, es2,
+            )
+            return fresh, es3
+
         if self._renderer is not None:
-            # pixels obs: two renders per step — the TRUE terminal frame of
-            # the pre-autoreset state (for info["final_obs"], so truncated
-            # episodes bootstrap from the frame they actually ended in) and
-            # the post-autoreset frame (the returned obs at done lanes is
-            # the fresh episode's first observation, Gymnasium convention).
+            # pixels obs: the TRUE terminal frame of the pre-autoreset
+            # state goes to info["final_obs"] (truncated episodes bootstrap
+            # from the frame they actually ended in); the returned obs at
+            # done lanes is the fresh episode's first frame (Gymnasium
+            # convention) — rendered only on steps where some lane resets.
             def render(ph):
                 return jax.vmap(
                     lambda s1: self._renderer._render_impl(
@@ -135,28 +154,44 @@ class BatchedEnv:
                 "pixels": render(es2.physics),
                 "agent_pos": es2.physics.qpos[:, :6].astype(jnp.float32),
             }
-            obs_out = {
-                "pixels": render(es3.physics),
-                "agent_pos": es3.physics.qpos[:, :6].astype(jnp.float32),
-            }
+
+            def with_reset(es2):
+                _, es3 = merge_fresh(es2)
+                return es3, {
+                    "pixels": render(es3.physics),
+                    "agent_pos": es3.physics.qpos[:, :6].astype(jnp.float32),
+                }
+
+            es3, obs_out = jax.lax.cond(
+                jnp.any(done), with_reset, lambda es2: (es2, final_obs), es2
+            )
             return es3, obs_out, reward, terminated, truncated, {
                 "final_obs": final_obs, "ncon": d.ncon,
             }
 
         final_obs = self._obs_vector(obs)
+
         # Gymnasium autoreset convention: at episode boundaries the returned
         # obs is the FRESH episode's first observation (so the policy's next
         # action is computed from the state it will act in); the terminal
         # obs goes to info["final_obs"] for correct bootstrapping of the
         # boundary transition.  Sites only -> kinematics suffices, no
         # collision pass.
-        d0 = jax.vmap(lambda s1: smooth.kinematics(self.m, s1))(fresh.physics)
-        reset_obs = self._obs_vector(
-            jax.vmap(
-                lambda d1, s1: core.observations(self.m, d1, s1, self.ids)
-            )(d0, fresh.physics)
+        def with_reset(es2):
+            fresh, es3 = merge_fresh(es2)
+            d0 = jax.vmap(lambda s1: smooth.kinematics(self.m, s1))(
+                fresh.physics
+            )
+            reset_obs = self._obs_vector(
+                jax.vmap(
+                    lambda d1, s1: core.observations(self.m, d1, s1, self.ids)
+                )(d0, fresh.physics)
+            )
+            return es3, jnp.where(done[:, None], reset_obs, final_obs)
+
+        es3, obs_out = jax.lax.cond(
+            jnp.any(done), with_reset, lambda es2: (es2, final_obs), es2
         )
-        obs_out = jnp.where(done[:, None], reset_obs, final_obs)
         # info["ncon"]: active narrowphase candidates per env BEFORE the
         # deepest-K cull — ncon > max_contacts means the fixed buffer
         # saturated and shallow contacts were dropped (observable, not

@@ -197,44 +197,69 @@ class Renderer:
         F = self._faces.shape[0]
         nchunks = F // TC
 
+        # ---- per-triangle affine coefficients, computed ONCE (O(F)) ----
+        # Every per-pixel quantity is affine in pixel coords: the edge
+        # function e0 = A0 gx + B0 gy + C0, their sum e0+e1+e2 = 2 x the
+        # signed pixel-space area (a per-triangle CONSTANT), and the
+        # interpolated depth (az e1 + bz e2 + qz e0)/area.  The old form
+        # recomputed vertex differences, the area, and three divides per
+        # (triangle, pixel) element (~50 VPU ops); this form is 3 FMA
+        # chains + a 3-way min + select (~24) with no per-pixel divide.
+        fidx = self._faces
+        ax, ay, az = px[fidx[:, 0]], py[fidx[:, 0]], cz[fidx[:, 0]]
+        bx, by, bz = px[fidx[:, 1]], py[fidx[:, 1]], cz[fidx[:, 1]]
+        qx, qy, qz = px[fidx[:, 2]], py[fidx[:, 2]], cz[fidx[:, 2]]
+        # C terms in difference-first form: the naive ax*by - bx*ay is FMA-
+        # contracted by XLA, which leaves a rounding-sized NONZERO residue
+        # for degenerate triangles (the chunk-padding tris have all three
+        # vertices equal) — they then pass the area cull and shade every
+        # pixel black.  Difference-first multiplies by an exact zero
+        # instead, which no FMA can perturb.
+        A0, B0, C0 = ay - by, bx - ax, ax * (by - ay) - (bx - ax) * ay
+        A1, B1, C1 = by - qy, qx - bx, bx * (qy - by) - (qx - bx) * by
+        A2, B2, C2 = qy - ay, ax - qx, qx * (ay - qy) - (ax - qx) * qy
+        area2 = C0 + C1 + C2                       # 2 * signed area
+        # normalize orientation so inside == (all edges >= 0), two-sided
+        flip = jnp.where(area2 < 0, -1.0, 1.0).astype(dtype)
+        A0, B0, C0 = A0 * flip, B0 * flip, C0 * flip
+        A1, B1, C1 = A1 * flip, B1 * flip, C1 * flip
+        A2, B2, C2 = A2 * flip, B2 * flip, C2 * flip
+        area_n = area2 * flip                      # |2 area|
+        # area cull at 1e-2 px^2 (not eps-level): f32 rounding of the C
+        # terms is ~coordinate^2 * 2^-24 ~ 6e-4 here, and a sub-centipixel
+        # triangle cannot contribute to a 64x48 frame anyway
+        keep = (area_n > 1e-2) & (az > near) & (bz > near) & (qz > near)
+        inv_area = 1.0 / jnp.where(keep, area_n, 1.0)
+        # depth as an affine form, area folded in (all 3 verts in front of
+        # the near plane => interpolated depth inside is > near, so no
+        # per-pixel near test is needed)
+        An = (az * A1 + bz * A2 + qz * A0) * inv_area
+        Bn = (az * B1 + bz * B2 + qz * B0) * inv_area
+        Cn = (az * C1 + bz * C2 + qz * C0) * inv_area
+        # culled triangles (degenerate / behind near / chunk padding) can
+        # never win: force edge 0 hugely negative
+        C0 = jnp.where(keep, C0, -1e30)
+
+        # flat shading from world-space normals (O(F), once)
+        a3 = vw[fidx[:, 0]]
+        n3 = jnp.cross(vw[fidx[:, 1]] - a3, vw[fidx[:, 2]] - a3)
+        n3 = n3 / jnp.maximum(jnp.linalg.norm(n3, axis=-1, keepdims=True), 1e-12)
+        lambert = jnp.abs(n3 @ fwd)                # two-sided headlight
+        rgb = self._fcol * (0.35 + 0.65 * lambert)[:, None]   # (F, 3)
+
         def chunk_body(ci, carry):
             zbuf, cbuf = carry
-            fidx = jax.lax.dynamic_slice_in_dim(self._faces, ci * TC, TC)
-            col = jax.lax.dynamic_slice_in_dim(self._fcol, ci * TC, TC)
-            ax, ay, az = px[fidx[:, 0]], py[fidx[:, 0]], cz[fidx[:, 0]]
-            bx, by, bz = px[fidx[:, 1]], py[fidx[:, 1]], cz[fidx[:, 1]]
-            qx, qy, qz = px[fidx[:, 2]], py[fidx[:, 2]], cz[fidx[:, 2]]
-
-            # shading from world-space normal
-            a3 = vw[fidx[:, 0]]
-            n3 = jnp.cross(vw[fidx[:, 1]] - a3, vw[fidx[:, 2]] - a3)
-            n3 = n3 / jnp.maximum(jnp.linalg.norm(n3, axis=-1, keepdims=True), 1e-12)
-            lambert = jnp.abs(n3 @ fwd)        # two-sided headlight
-            shade = 0.35 + 0.65 * lambert
-            rgb = col * shade[:, None]          # (T, 3)
-
-            # edge functions (T, P)
-            e0 = (bx - ax)[:, None] * (gy[None] - ay[:, None]) - (by - ay)[:, None] * (gx[None] - ax[:, None])
-            e1 = (qx - bx)[:, None] * (gy[None] - by[:, None]) - (qy - by)[:, None] * (gx[None] - bx[:, None])
-            e2 = (ax - qx)[:, None] * (gy[None] - qy[:, None]) - (ay - qy)[:, None] * (gx[None] - qx[:, None])
-            inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
-                (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
-            )
-            area = e0 + e1 + e2
-            good = jnp.abs(area) > 1e-9
-            w0 = e1 / jnp.where(good, area, 1.0)
-            w1 = e2 / jnp.where(good, area, 1.0)
-            w2 = e0 / jnp.where(good, area, 1.0)
-            # perspective-correct-ish depth (linear in screen space is fine
-            # for small triangles)
-            zpix = w0 * az[:, None] + w1 * bz[:, None] + w2 * qz[:, None]
-            infront = (az > near) & (bz > near) & (qz > near)
-            valid = inside & good & infront[:, None] & (zpix > near)
-            zmask = jnp.where(valid, zpix, jnp.inf)
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * TC, TC)
+            e0 = sl(A0)[:, None] * gx[None] + sl(B0)[:, None] * gy[None] + sl(C0)[:, None]
+            e1 = sl(A1)[:, None] * gx[None] + sl(B1)[:, None] * gy[None] + sl(C1)[:, None]
+            e2 = sl(area_n)[:, None] - e0 - e1     # edge sum is constant
+            zpix = sl(An)[:, None] * gx[None] + sl(Bn)[:, None] * gy[None] + sl(Cn)[:, None]
+            emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+            zmask = jnp.where(emin >= 0, zpix, jnp.inf)
             # best triangle in this chunk per pixel
             best = jnp.argmin(zmask, axis=0)          # (P,)
             bestz = jnp.take_along_axis(zmask, best[None], 0)[0]
-            bestc = rgb[best]                          # (P, 3)
+            bestc = sl(rgb)[best]                      # (P, 3)
             better = bestz < zbuf
             zbuf = jnp.where(better, bestz, zbuf)
             cbuf = jnp.where(better[:, None], bestc, cbuf)
