@@ -408,13 +408,23 @@ class HERTrainer:
                 self.save(ts, cfg.checkpoint_dir, steps * cfg.num_envs)
         return ts
 
+    @staticmethod
+    def _pack_zero_size(ts):
+        """Orbax StandardCheckpointer refuses zero-size arrays (the joint
+        scene has no mocap bodies, so es.physics.mocap_* are (0, ...)).
+        Swap them for 1-element placeholders on save; restore swaps back
+        (their content is vacuously empty, so this is lossless)."""
+        return jax.tree_util.tree_map(
+            lambda a: jnp.zeros((1,), a.dtype) if a.size == 0 else a, ts
+        )
+
     def save(self, ts: HERTrainState, path, step):
         import orbax.checkpoint as ocp
 
         os.makedirs(path, exist_ok=True)
         p = os.path.abspath(os.path.join(path, f"her_ckpt_{step}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(p, ts)
+        ckptr.save(p, self._pack_zero_size(ts))
         ckptr.wait_until_finished()
         return p
 
@@ -423,4 +433,9 @@ class HERTrainer:
 
         target = self.init(0)
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(os.path.abspath(path), target)
+        restored = ckptr.restore(
+            os.path.abspath(path), self._pack_zero_size(target)
+        )
+        return jax.tree_util.tree_map(
+            lambda t, r: t if t.size == 0 else r, target, restored
+        )
