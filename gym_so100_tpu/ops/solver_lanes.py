@@ -869,11 +869,17 @@ def solve_lanes(m: Model, qM, a0, efc: EfcLanes, warmstart=None):
     ls_len = int(_os.environ.get("GST_LS", "6")) if f32 else max(m.ls_iterations, 25)
     bracket_len = int(_os.environ.get("GST_BRACKET", "5")) if f32 else 16
     # fused whole-solve Pallas kernel (f32 throughput path): one HBM read
-    # of J/D/aref per substep instead of one per line-search evaluation
+    # of J/D/aref per substep instead of one per line-search evaluation.
+    # Default ON since round 5: on-chip quality probe at B=4096 shows the
+    # fused and scan paths lane-for-lane equivalent (fused_minus_scan_p99
+    # 0.004 qacc, equal niter; devtools/probe_solver_quality_r5.py), and
+    # the bench ablation measured 75.7k -> 101.6k env-steps/s at K=16
+    # (44.6k -> 77.5k at K=32).  GST_PALLAS_SOLVE=0 reverts to the scan
+    # path (also used automatically for f64/parity and odd batch widths).
     if (
         f32
         and B % 128 == 0
-        and _os.environ.get("GST_PALLAS_SOLVE", "0") == "1"
+        and _os.environ.get("GST_PALLAS_SOLVE", "1") == "1"
     ):
         return _solve_fused_pallas(
             m, qM, a0, efc, warmstart, max_iters, ls_len, bracket_len, tol
