@@ -164,7 +164,10 @@ class Trainer:
             es = dist.shard_env(es, self.mesh)
         # initial obs from a fresh position pass
         obs = self._initial_obs(es)
-        steps = int(st.step)  # resumes continue the step count
+        # resumes continue the step count; st.step counts SAC gradient
+        # updates, which run utd per env-batch step (at utd 8 a resume
+        # previously restarted 8x too far along and exited immediately)
+        steps = int(st.step) // max(1, t.utd)
         t0 = time.time()
         rew_acc = []
         ncon_peak = 0

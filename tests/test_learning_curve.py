@@ -55,11 +55,13 @@ def test_sac_touchcube_reached_scale():
 HER_ART = os.path.join(os.path.dirname(ART), "her_nearcube_curve.jsonl")
 
 
-def test_her_nearcube_success_present_and_rising():
-    """Committed on-chip HER curve (see artifacts/README.md): success on
-    near-cube curriculum goals is sustained above zero in most windows,
-    and the last-quarter mean success_rate is at least the first
-    quarter's (measured ~1.45x; random baseline 2.7e-4/step)."""
+def test_her_nearcube_success_rising():
+    """Committed 12M-step on-chip HER curve (see artifacts/README.md),
+    trained with goal_min_dist=0.02 so NO success is a zero-skill freebie
+    (every goal requires transporting the cube).  The per-step success
+    rate must clearly rise: last-quarter mean >= 1.5x the first quarter
+    and >= 3e-4 absolute, twice the ~1.5e-4 random floor (measured:
+    1.75x / 3.7e-4, with the final windows reaching ~1.1e-3)."""
     rows = []
     with open(HER_ART) as f:
         for line in f:
@@ -70,6 +72,24 @@ def test_her_nearcube_success_present_and_rising():
                     rows.append(row["success_rate"])
     sr = np.asarray(rows)
     assert len(sr) >= 100
-    assert (sr > 0).mean() > 0.5, (sr > 0).mean()
     q = len(sr) // 4
-    assert sr[-q:].mean() >= sr[:q].mean(), (sr[:q].mean(), sr[-q:].mean())
+    first, last = sr[:q].mean(), sr[-q:].mean()
+    assert last >= 1.5 * max(first, 1e-5), (first, last)
+    assert last >= 3e-4, last
+
+
+def test_her_eval_policy_beats_random():
+    """Committed deterministic-policy evaluation (artifacts/her_eval.json,
+    devtools/probe_her_eval_r5.py): under the identical transport-required
+    goal distribution, the trained policy's episode success rate must beat
+    the random-action control by >= 1.5x with a meaningful sample
+    (measured 2.2x at 12M steps: 7.7% vs 3.5% over ~1000 episodes each)."""
+    with open(os.path.join(os.path.dirname(ART), "her_eval.json")) as f:
+        ev = json.load(f)
+    final = ev["at_12M_steps"]
+    assert final["policy_episodes"] >= 500
+    assert final["random_episodes"] >= 500
+    assert final["policy_ep_success_rate"] >= 1.5 * final[
+        "random_ep_success_rate"
+    ], final
+    assert final["policy_ep_success_rate"] >= 0.05, final
