@@ -168,6 +168,7 @@ class Trainer:
         # updates, which run utd per env-batch step (at utd 8 a resume
         # previously restarted 8x too far along and exited immediately)
         steps = int(st.step) // max(1, t.utd)
+        start_steps = steps  # sps measures THIS process, not restored work
         t0 = time.time()
         rew_acc = []
         ncon_peak = 0
@@ -188,7 +189,10 @@ class Trainer:
                 line = {
                     "env_steps": steps * t.num_envs,
                     "mean_reward": round(mean_rew, 4),
-                    "sps": round(steps * t.num_envs / (time.time() - t0), 1),
+                    "sps": round(
+                        (steps - start_steps) * t.num_envs
+                        / (time.time() - t0), 1
+                    ),
                     "ncon_peak": ncon_peak,
                 }
                 for k, v in metrics.items():

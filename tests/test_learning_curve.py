@@ -52,6 +52,30 @@ def test_sac_touchcube_reached_scale():
     assert rows[-1][0] >= 1_000_000, rows[-1]
 
 
+def test_sac_pixels_reward_rises():
+    """Committed on-chip PIXEL-observation SAC curve (the reference's
+    default obs family trained through the on-device rasterizer at 64x48,
+    artifacts/README.md): late-window mean reward must clearly exceed the
+    early window and the random floor (measured -0.02 -> ~0.12 over 1M
+    env steps)."""
+    path = os.path.join(os.path.dirname(ART), "sac_pixels_curve.jsonl")
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                row = json.loads(line)
+                if "mean_reward" in row:
+                    rows.append(row["mean_reward"])
+    rews = np.asarray(rows)
+    n = len(rews)
+    assert n >= 20
+    early = rews[: max(2, n // 5)].mean()
+    late = rews[-max(2, n // 5):].mean()
+    assert late > early + 0.08, (early, late)
+    assert late > 0.08, late
+
+
 HER_ART = os.path.join(os.path.dirname(ART), "her_nearcube_curve.jsonl")
 
 
