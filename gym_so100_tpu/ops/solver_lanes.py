@@ -152,164 +152,12 @@ def _assemble(efc: EfcLanes, jar, nv):
     return cost, grad, H
 
 
-def _ls_pallas(jar, djar, efc: EfcLanes, c1, c2, bracket_len, ls_len):
-    """VMEM-resident line search as a Pallas kernel (f32 throughput path).
-
-    Identical algorithm and zone math to the scan path (phi' pieces
-    mirror _cost_terms); validated bit-near-exact on-chip (max qacc delta
-    2e-13, same iteration counts).  MEASURED SLOWER than the scans
-    (60.6k vs 68.0k at B=4096): the pallas_call boundary materializes
-    jar/djar/D to HBM, breaking the producer fusions the scan
-    evaluations enjoy — the "line search re-reads 6 MB per evaluation"
-    hypothesis was wrong, XLA was already recomputing/fusing these
-    reads.  OFF by default (GST_PALLAS_LS=1 to enable); kept as the
-    starting point for a larger fused-solve kernel where the producers
-    live inside the kernel too."""
-    import numpy as np
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    dtype = jar.dtype
-    NE, B = jar.shape
-    neq, nf = efc.neq, efc.nf
-    ns = neq + nf + efc.nl
-    K = efc.con_mu.shape[0]
-    Bt = max(bt for bt in (512, 256, 128) if B % bt == 0)
-
-    # aux rows: [floss (nf) | R_f (nf) | mu (K) | Dn (K) | c1 | c2], padded
-    # to a multiple of 8 sublanes
-    o_fl, o_rf, o_mu, o_dn = 0, nf, 2 * nf, 2 * nf + K
-    o_c = 2 * nf + 2 * K
-    n_aux = o_c + 2
-    n_aux_pad = -(-n_aux // 8) * 8
-    aux = jnp.concatenate(
-        [efc.floss, efc.R[neq:neq + nf], efc.con_mu, efc.con_Dn,
-         c1[None], c2[None],
-         jnp.zeros((n_aux_pad - n_aux, B), dtype)],
-        axis=0,
-    )
-    usc = efc.con_uscale.reshape(K * CDIM, B)
-
-    def kernel(jar_ref, djar_ref, D_ref, aux_ref, us_ref, alpha_ref):
-        jarv = jar_ref[:]
-        djarv = djar_ref[:]
-        Dv = D_ref[:]
-        fl = aux_ref[o_fl:o_fl + nf]
-        Rf = aux_ref[o_rf:o_rf + nf]
-        mu = aux_ref[o_mu:o_mu + K]
-        Dn = aux_ref[o_dn:o_dn + K]
-        c1v = aux_ref[o_c:o_c + 1]
-        c2v = aux_ref[o_c + 1:o_c + 2]
-        us = us_ref[:].reshape(K, CDIM, Bt)
-        dj_c = djarv[ns:].reshape(K, CDIM, Bt)
-        D_c = Dv[ns:].reshape(K, CDIM, Bt)
-        lim = fl * Rf
-
-        def d1_of(alpha):                     # alpha (1, Bt) -> (1, Bt)
-            jar_a = jarv + alpha * djarv
-            jar_s = jar_a[:ns]
-            # scalar-row gradients (eq quadratic, floss Huber, limit gate);
-            # zero-length segments are skipped statically (empty arrays
-            # trip Mosaic)
-            d1s = jnp.zeros((1, Bt), dtype)
-            if neq:
-                ge = Dv[:neq] * jar_s[:neq]
-                d1s = d1s + jnp.sum(ge * djarv[:neq], axis=0, keepdims=True)
-            if nf:
-                jf = jar_s[neq:neq + nf]
-                gf = jnp.where(
-                    jnp.abs(jf) <= lim, Dv[neq:neq + nf] * jf,
-                    fl * jnp.sign(jf),
-                )
-                d1s = d1s + jnp.sum(
-                    gf * djarv[neq:neq + nf], axis=0, keepdims=True
-                )
-            if ns > neq + nf:
-                jl = jar_s[neq + nf:ns]
-                gl = jnp.where(jl < 0, Dv[neq + nf:ns] * jl, 0.0)
-                d1s = d1s + jnp.sum(
-                    gl * djarv[neq + nf:ns], axis=0, keepdims=True
-                )
-            # contact cones
-            jar_c = jar_a[ns:].reshape(K, CDIM, Bt)
-            u = jar_c * us
-            un = u[:, 0]
-            ut = u[:, 1:]
-            Traw = jnp.sqrt(jnp.sum(ut * ut, axis=1))
-            T = jnp.maximum(Traw, jnp.asarray(1e-30, dtype))
-            bottom = mu * Traw <= un
-            topz = (Traw <= -mu * un) & (Dn > 0)
-            middle = ~(bottom | (Traw <= -mu * un)) & (Dn > 0)
-            w = mu * Traw - un
-            k = Dn / (1 + mu * mu)
-            uhat = ut / T[:, None]
-            g_mid = jnp.concatenate(
-                [-jnp.ones_like(un)[:, None], mu[:, None] * uhat], axis=1
-            )
-            gc = (
-                topz[:, None] * D_c * jar_c
-                + middle[:, None] * (k * w)[:, None] * g_mid * us
-            )
-            d1c = jnp.sum(gc * dj_c, axis=(0, 1))[None]
-            return c1v + alpha * c2v + d1s + d1c
-
-        one = jnp.ones((1, Bt), dtype)
-        hi = one
-        ok = jnp.zeros((1, Bt), bool)
-        for _ in range(bracket_len):
-            d1 = d1_of(hi)
-            ok2 = d1 > 0
-            hi = jnp.where(ok | ok2, hi, hi * 2.0)
-            ok = ok | ok2
-        dhi = d1_of(hi)
-        dlo = d1_of(jnp.zeros((1, Bt), dtype))
-        dlo0 = dlo
-        lo = jnp.zeros((1, Bt), dtype)
-        for _ in range(ls_len):
-            denom = dhi - dlo
-            a_ = jnp.where(
-                jnp.abs(denom) > MINVAL_,
-                lo - dlo * (hi - lo)
-                / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
-                0.5 * (lo + hi),
-            )
-            a_ = jnp.clip(a_, lo + 1e-14, hi - 1e-14)
-            da = d1_of(a_)
-            neg = da < 0
-            lo = jnp.where(neg, a_, lo)
-            dlo = jnp.where(neg, da, 0.5 * dlo)
-            hi = jnp.where(neg, hi, a_)
-            dhi = jnp.where(neg, 0.5 * dhi, da)
-        denom = dhi - dlo
-        alpha = jnp.where(
-            jnp.abs(denom) > MINVAL_,
-            lo - dlo * (hi - lo)
-            / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
-            0.5 * (lo + hi),
-        )
-        alpha_ref[:] = jnp.where(dlo0 >= 0, 0.0, alpha)
-
-    rowspec = lambda n: pl.BlockSpec(
-        (n, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    alpha = pl.pallas_call(
-        kernel,
-        grid=(B // Bt,),
-        in_specs=[
-            rowspec(NE), rowspec(NE), rowspec(NE),
-            rowspec(n_aux_pad), rowspec(K * CDIM),
-        ],
-        out_specs=rowspec(1),
-        out_shape=jax.ShapeDtypeStruct((1, B), dtype),
-    )(jar, djar, efc.D, aux, usc)
-    return alpha[0]
-
 
 def _solve_fused_pallas(m, qM, a0, efc: EfcLanes, warmstart,
                         max_iters, ls_len, bracket_len, tol):
     """Whole Newton solve as ONE Pallas kernel, B-tiled through VMEM.
 
-    Round-4's line-search-only kernel (_ls_pallas) measured SLOWER than the
+    Round-4's line-search-only kernel (pruned in round 5) measured SLOWER than the
     scan path because the pallas_call boundary materialized jar/djar/D to
     HBM every Newton iteration, breaking XLA's producer fusions.  This
     kernel moves the ENTIRE solve inside — J/D/aref/uscale/qM are read
@@ -951,56 +799,48 @@ def solve_lanes(m: Model, qM, a0, efc: EfcLanes, warmstart=None):
             )
             return d1, d2_s + d2_top + d2_mid
 
-        use_pallas = (
-            f32
-            and B % 128 == 0
-            and _os.environ.get("GST_PALLAS_LS", "0") == "1"
+        def expand(carry, _):
+            hi, ok = carry
+            d1, _ = phi_d(hi)
+            ok2 = d1 > 0
+            hi2 = jnp.where(ok | ok2, hi, hi * 2.0)
+            return (hi2, ok | ok2), None
+
+        (hi, _), _ = jax.lax.scan(
+            expand, (jnp.ones(B, dtype), jnp.zeros(B, bool)), None,
+            length=bracket_len,
         )
-        if use_pallas:
-            alpha = _ls_pallas(jar, djar, efc, c1, c2, bracket_len, ls_len)
-        else:
-            def expand(carry, _):
-                hi, ok = carry
-                d1, _ = phi_d(hi)
-                ok2 = d1 > 0
-                hi2 = jnp.where(ok | ok2, hi, hi * 2.0)
-                return (hi2, ok | ok2), None
+        dhi, _ = phi_d(hi)
+        dlo, _ = phi_d(jnp.zeros(B, dtype))
 
-            (hi, _), _ = jax.lax.scan(
-                expand, (jnp.ones(B, dtype), jnp.zeros(B, bool)), None,
-                length=bracket_len,
-            )
-            dhi, _ = phi_d(hi)
-            dlo, _ = phi_d(jnp.zeros(B, dtype))
-
-            def ls_body(carry, _):
-                lo, hi, dlo, dhi = carry
-                denom = dhi - dlo
-                a_ = jnp.where(
-                    jnp.abs(denom) > MINVAL_,
-                    lo - dlo * (hi - lo) / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
-                    0.5 * (lo + hi),
-                )
-                a_ = jnp.clip(a_, lo + 1e-14, hi - 1e-14)
-                da, _ = phi_d(a_)
-                neg = da < 0
-                lo2 = jnp.where(neg, a_, lo)
-                dlo2 = jnp.where(neg, da, 0.5 * dlo)
-                hi2 = jnp.where(neg, hi, a_)
-                dhi2 = jnp.where(neg, 0.5 * dhi, da)
-                return (lo2, hi2, dlo2, dhi2), None
-
-            (lo_f, hi_f, dlo_f, dhi_f), _ = jax.lax.scan(
-                ls_body, (jnp.zeros(B, dtype), hi, dlo, dhi), None,
-                length=ls_len,
-            )
-            denom = dhi_f - dlo_f
-            alpha = jnp.where(
+        def ls_body(carry, _):
+            lo, hi, dlo, dhi = carry
+            denom = dhi - dlo
+            a_ = jnp.where(
                 jnp.abs(denom) > MINVAL_,
-                lo_f - dlo_f * (hi_f - lo_f) / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
-                0.5 * (lo_f + hi_f),
+                lo - dlo * (hi - lo) / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
+                0.5 * (lo + hi),
             )
-            alpha = jnp.where(dlo >= 0, 0.0, alpha)
+            a_ = jnp.clip(a_, lo + 1e-14, hi - 1e-14)
+            da, _ = phi_d(a_)
+            neg = da < 0
+            lo2 = jnp.where(neg, a_, lo)
+            dlo2 = jnp.where(neg, da, 0.5 * dlo)
+            hi2 = jnp.where(neg, hi, a_)
+            dhi2 = jnp.where(neg, 0.5 * dhi, da)
+            return (lo2, hi2, dlo2, dhi2), None
+
+        (lo_f, hi_f, dlo_f, dhi_f), _ = jax.lax.scan(
+            ls_body, (jnp.zeros(B, dtype), hi, dlo, dhi), None,
+            length=ls_len,
+        )
+        denom = dhi_f - dlo_f
+        alpha = jnp.where(
+            jnp.abs(denom) > MINVAL_,
+            lo_f - dlo_f * (hi_f - lo_f) / jnp.where(jnp.abs(denom) > MINVAL_, denom, 1.0),
+            0.5 * (lo_f + hi_f),
+        )
+        alpha = jnp.where(dlo >= 0, 0.0, alpha)
 
         x_new = [xs[i] + alpha * dirn[i] for i in range(nv)]
         cost_new = total_cost(x_new)
