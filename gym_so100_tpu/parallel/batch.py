@@ -84,12 +84,15 @@ class BatchedEnv:
             from ..render.rasterizer import Renderer
 
             # obs-resolution frames (64x48 default) don't resolve the
-            # 700-tri/mesh detail the interactive viewer uses; 200 is
-            # visually equivalent at this scale and ~3x fewer triangles
-            # through the rasterization loop (GST_OBS_TRIS overrides)
+            # 700-tri/mesh detail the interactive viewer uses; 100/mesh
+            # (896 scene tris) is visually indistinguishable from 200 at
+            # this scale (arm silhouette, cube, bin all intact) and
+            # benches 1476 vs 654 env-steps/s @ 1024 envs
+            # (GST_OBS_TRIS overrides; the committed pixel learning
+            # artifact was trained at 200)
             self._renderer = Renderer(
                 m, render_aux, tri_chunk=128,
-                max_tris_per_mesh=int(_os.environ.get("GST_OBS_TRIS", "200")),
+                max_tris_per_mesh=int(_os.environ.get("GST_OBS_TRIS", "100")),
             )
         elif obs_mode != "state":
             raise ValueError(f"unknown obs_mode {obs_mode!r}")
