@@ -26,7 +26,8 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/trace_r3"
 
 
 def main():
-    m, _ = build_model(XML, max_contacts=16)
+    import os
+    m, _ = build_model(XML, max_contacts=int(os.environ.get("TRACE_K", "16")))
     m = m.astype(jnp.float32)
     env = BatchedEnv(m, "so100_cube_to_bin", num_envs=B, hull_contacts=True)
     key = jax.random.PRNGKey(0)
